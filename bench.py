@@ -1,0 +1,63 @@
+"""Benchmark driver: full KS-2D discovery benchmark on TPU vs reference CPU.
+
+Workload (identical to `python scripts/ks2d_stridge_benchmark.py --grid-search`
+in the reference): simulate 2D KS (100x100, 2000 Euler steps), build the true
+dictionary, sample 50k pointwise rows, run the 5x6 alpha/threshold STRidge
+grid (30 fits), pick the best by (R^2, -n_active, -rmse), and roll out 50
+steps.
+
+Baseline: the reference script measured on this host's CPU at 14.97 s wall
+(2026-08-16, `time python scripts/ks2d_stridge_benchmark.py --grid-search`).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+BASELINE_SECONDS = 14.97  # reference CPU wall-clock on this host (see docstring)
+
+
+def main() -> None:
+    import jax
+    import pdx
+
+    from pdx.pipelines.ks2d_bench import Ks2dBenchConfig, run
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    if on_tpu:
+        pdx.enable_compilation_cache()
+    dtype = "float32" if on_tpu else "float64"
+    if not on_tpu:
+        jax.config.update("jax_enable_x64", True)
+
+    cfg = Ks2dBenchConfig(grid_search=True, dtype=dtype)
+
+    # warmup: one full run with identical shapes so the timed run measures
+    # steady-state (compiles land in the persistent cache the first time)
+    run(cfg)
+
+    t0 = time.perf_counter()
+    res = run(cfg)
+    elapsed = time.perf_counter() - t0
+
+    # sanity: recovery must be essentially exact on the clean benchmark
+    worst_err = max(v["rel_err_pct"] for v in res["gt_errors"].values())
+    assert worst_err < 1.0, f"recovery degraded: {res['gt_errors']}"
+
+    print(
+        json.dumps(
+            {
+                "metric": "ks2d_full_benchmark_gridsearch_wallclock",
+                "value": round(elapsed, 4),
+                "unit": "seconds",
+                "vs_baseline": round(BASELINE_SECONDS / elapsed, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

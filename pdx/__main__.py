@@ -1,0 +1,134 @@
+"""pdx CLI — workload entry points mirroring the reference scripts.
+
+Usage:
+  python -m pdx ks2d-bench [--method pointwise|blockwise|weakform] [...]
+  python -m pdx analyze --data-dir DIR [...]
+  python -m pdx patch-discover --data-dir DIR [...]
+  python -m pdx transport --data-dir DIR [...]
+  python -m pdx run-all --data-dir DIR [...]
+
+Parity: the reference's per-script CLIs (QUICKSTART.md:22-43); flag names
+match ks2d_stridge_benchmark.py:1108-1353 where applicable.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+
+def _add_dataclass_args(parser: argparse.ArgumentParser, cls) -> None:
+    for f in dataclasses.fields(cls):
+        name = "--" + f.name.replace("_", "-")
+        if f.type in ("bool", bool):
+            parser.add_argument(name, action="store_true", default=f.default)
+        elif f.type in ("tuple[int, ...]",):
+            parser.add_argument(
+                name,
+                type=lambda s: tuple(int(x) for x in s.split(",") if x.strip()),
+                default=f.default,
+            )
+        else:
+            py_type = {"int": int, "float": float, "str": str}.get(str(f.type), str)
+            parser.add_argument(name, type=py_type, default=f.default)
+
+
+def _namespace_to_config(args: argparse.Namespace, cls):
+    kwargs = {f.name: getattr(args, f.name) for f in dataclasses.fields(cls)}
+    return cls(**kwargs)
+
+
+def cmd_ks2d_bench(argv: list[str]) -> int:
+    from pdx.pipelines.ks2d_bench import Ks2dBenchConfig, run
+
+    parser = argparse.ArgumentParser(prog="pdx ks2d-bench")
+    _add_dataclass_args(parser, Ks2dBenchConfig)
+    args = parser.parse_args(argv)
+    cfg = _namespace_to_config(args, Ks2dBenchConfig)
+    res = run(cfg)
+
+    print("Discovered PDE (|c| > 1e-8):")
+    for name, c in sorted(zip(res["display_names"], res["coeffs"]), key=lambda p: -abs(p[1])):
+        if abs(c) > 1e-8:
+            print(f"  {name:8s}: {c:+.6f}")
+    print("\nGround-truth comparison (relative error):")
+    for k, v in res["gt_errors"].items():
+        print(f"  {k:8s}: gt={v['gt']:+.6f}, est={v['est']:+.6f}, rel_err={v['rel_err_pct']:.3f}%")
+    print("\nFit quality:")
+    print(f"  Train R2={res['fit']['train_r2']:.6f}, RMSE={res['fit']['train_rmse']:.6e}")
+    print(f"  Test  R2={res['fit']['test_r2']:.6f}, RMSE={res['fit']['test_rmse']:.6e}")
+    r = res["rollout"]
+    print(
+        f"\nRollout RMSE over {r['n_steps']} steps: first={r['first']:.3e}, "
+        f"last={r['last']:.3e}, mean={r['mean']:.3e}"
+    )
+    return 0
+
+
+def cmd_json(argv: list[str]) -> int:
+    """ks2d-bench with machine-readable JSON output."""
+    from pdx.pipelines.ks2d_bench import Ks2dBenchConfig, run
+
+    parser = argparse.ArgumentParser(prog="pdx ks2d-bench-json")
+    _add_dataclass_args(parser, Ks2dBenchConfig)
+    args = parser.parse_args(argv)
+    res = run(_namespace_to_config(args, Ks2dBenchConfig))
+    print(json.dumps(res, default=float))
+    return 0
+
+
+COMMANDS = {
+    "ks2d-bench": cmd_ks2d_bench,
+    "ks2d-bench-json": cmd_json,
+}
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    # subcommands registered lazily by pipeline availability
+    try:
+        from pdx.pipelines.analyze import cmd_analyze  # noqa: F401
+
+        COMMANDS["analyze"] = cmd_analyze
+    except ImportError:
+        pass
+    try:
+        from pdx.pipelines.patch_discovery import cmd_patch_discover  # noqa: F401
+
+        COMMANDS["patch-discover"] = cmd_patch_discover
+    except ImportError:
+        pass
+    try:
+        from pdx.pipelines.transport import cmd_transport  # noqa: F401
+
+        COMMANDS["transport"] = cmd_transport
+    except ImportError:
+        pass
+    try:
+        from pdx.pipelines.run_all import cmd_run_all  # noqa: F401
+
+        COMMANDS["run-all"] = cmd_run_all
+    except ImportError:
+        pass
+    try:
+        from pdx.pipelines.comprehensive import cmd_comprehensive  # noqa: F401
+
+        COMMANDS["comprehensive"] = cmd_comprehensive
+    except ImportError:
+        pass
+
+    if not argv or argv[0] in ("-h", "--help"):
+        print(__doc__)
+        print("commands:", ", ".join(sorted(COMMANDS)))
+        return 0
+    cmd = argv[0]
+    if cmd not in COMMANDS:
+        print(f"error: unknown command '{cmd}'. available: {', '.join(sorted(COMMANDS))}", file=sys.stderr)
+        return 2
+    return COMMANDS[cmd](argv[1:])
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,62 @@
+"""Blockwise-averaged regression dataset — the paper's key noise-robustness
+trick (8x error reduction at 5% noise; reference README.md:41).
+
+Parity: ``build_blockwise_dataset`` (ks2d_stridge_benchmark.py:358-401):
+average u_t and every library term over (block_t x block_x x block_y)
+spatiotemporal blocks.
+
+TPU-first: the reference's triple Python loop with np.mean per term becomes a
+single pad-to-multiple + reshape + mean over block axes for the whole
+(p, T, H, W) term stack at once. Ragged tail blocks (when a dimension is not
+divisible by the block size) are handled by mean-over-valid via a count
+normalization, matching the reference's min(T, t0+bt) slicing exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from jax import Array
+
+
+def _block_reduce_sum(A: Array, bt: int, bx: int, by: int) -> Array:
+    """Sum over (bt, bx, by) blocks of the trailing three axes, zero-padding
+    ragged tails. Returns (..., nbt, nbx, nby)."""
+    T, H, W = A.shape[-3], A.shape[-2], A.shape[-1]
+    nbt, nbx, nby = -(-T // bt), -(-H // bx), -(-W // by)
+    pad = [(0, 0)] * (A.ndim - 3) + [(0, nbt * bt - T), (0, nbx * bx - H), (0, nby * by - W)]
+    Ap = jnp.pad(A, pad)
+    Ar = Ap.reshape(A.shape[:-3] + (nbt, bt, nbx, bx, nby, by))
+    return Ar.sum(axis=(-5, -3, -1))
+
+
+def block_counts(T: int, H: int, W: int, bt: int, bx: int, by: int, dtype) -> Array:
+    """Number of valid (unpadded) cells per block — normalizer for ragged tails."""
+    ones = jnp.ones((T, H, W), dtype=dtype)
+    return _block_reduce_sum(ones, bt, bx, by)
+
+
+def build_blockwise_dataset(
+    Ut: Array,
+    terms: Array,
+    *,
+    block_t: int,
+    block_x: int,
+    block_y: int,
+) -> tuple[Array, Array]:
+    """Returns (X[(n_blocks, p)], y[(n_blocks,)]) of block means.
+
+    Block enumeration order matches the reference's loop nest (t outer, x
+    middle, y inner).
+    """
+    bt, bx, by = int(block_t), int(block_x), int(block_y)
+    if bt <= 0 or bx <= 0 or by <= 0:
+        raise ValueError("block sizes must be > 0")
+    T, H, W = Ut.shape
+    cnt = block_counts(T, H, W, bt, bx, by, Ut.dtype)
+    y_blocks = _block_reduce_sum(Ut, bt, bx, by) / cnt
+    x_blocks = _block_reduce_sum(terms, bt, bx, by) / cnt  # (p, nbt, nbx, nby)
+    p = terms.shape[0]
+    X = x_blocks.reshape(p, -1).T
+    y = y_blocks.reshape(-1)
+    return X, y

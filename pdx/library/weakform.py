@@ -1,0 +1,156 @@
+"""Weak-form dataset builder (integrated identity against test functions).
+
+Parity: build_weakform_dataset + _fourier_test_functions +
+_gaussian_test_functions (ks2d_stridge_benchmark.py:164-355):
+
+  y[t, j]   = (<phi_j, u_{t+1}> - <phi_j, u_t>) / DT
+  X_lap     = -k^2 <phi, u>     (Fourier, integration by parts)  or <lap phi, u>
+  X_bih     = +k^4 <phi, u>                                     or <bih phi, u>
+  X_gsq     = <phi, |grad u|^2>  with spectral low-pass gradients
+  optional motion correction: y -= vx <u, phi_x> + vy <u, phi_y>
+
+TPU-first: the inner products are exactly one GEMM S = area * U_flat @ Phi^T
+(the reference already vectorizes this at :285-291); the nonlinear feature's
+per-frame FFT loop (:346-350) becomes one batched FFT + one GEMM.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from jax import Array
+
+from pdx.ops.spectral import gradients_spectral, laplacian_spectral
+from pdx.ops.filters import smooth_1d
+from pdx.register.phasecorr import estimate_interframe_shifts
+
+
+def fourier_test_functions(
+    nx: int, ny: int, lx: float, ly: float, *, max_k: int, dtype=np.float64
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(phis[(P, nx, ny)], k2[(P,)], k4[(P,)]) — cos/sin pairs for all
+    (m, n) in [0, max_k]^2 \\ {(0,0)} (ks2d_stridge_benchmark.py:164-202)."""
+    x = np.linspace(0.0, lx, nx, endpoint=False)
+    y = np.linspace(0.0, ly, ny, endpoint=False)
+    X, Y = np.meshgrid(x, y, indexing="ij")
+    phis, k2s, k4s = [], [], []
+    for m in range(0, int(max_k) + 1):
+        for n in range(0, int(max_k) + 1):
+            if m == 0 and n == 0:
+                continue
+            kx = 2.0 * np.pi * m / float(lx)
+            ky = 2.0 * np.pi * n / float(ly)
+            k2 = float(kx**2 + ky**2)
+            phase = kx * X + ky * Y
+            phis.append(np.cos(phase))
+            phis.append(np.sin(phase))
+            k2s += [k2, k2]
+            k4s += [k2 * k2, k2 * k2]
+    return (
+        np.stack(phis).astype(dtype),
+        np.asarray(k2s, dtype=dtype),
+        np.asarray(k4s, dtype=dtype),
+    )
+
+
+def gaussian_test_functions(
+    nx: int, ny: int, *, n_phi: int, sigma_px: float, seed: int = 123, dtype=np.float64
+) -> np.ndarray:
+    """L2-normalized periodic Gaussian bumps at uniform random centers
+    (ks2d_stridge_benchmark.py:205-235; rng = default_rng(123) per reference
+    main's call site :275-276)."""
+    sigma_px = float(sigma_px)
+    if sigma_px <= 0:
+        raise ValueError("weak sigma_px must be > 0")
+    rng = np.random.default_rng(seed)
+    x = np.arange(nx, dtype=np.float64)
+    y = np.arange(ny, dtype=np.float64)
+    X, Y = np.meshgrid(x, y, indexing="ij")
+    phis = []
+    for _ in range(int(n_phi)):
+        cx = float(rng.uniform(0, nx))
+        cy = float(rng.uniform(0, ny))
+        dxp = np.minimum(np.abs(X - cx), nx - np.abs(X - cx))
+        dyp = np.minimum(np.abs(Y - cy), ny - np.abs(Y - cy))
+        phi = np.exp(-0.5 * (dxp**2 + dyp**2) / (sigma_px**2))
+        norm = float(np.sqrt(np.sum(phi**2)))
+        if norm > 0:
+            phi = phi / norm
+        phis.append(phi)
+    return np.stack(phis).astype(dtype)
+
+
+def build_weakform_dataset(
+    U: Array,
+    *,
+    dx: float,
+    dy: float,
+    dt_frame: float,
+    lx: float,
+    ly: float,
+    max_k: int = 3,
+    basis: str = "gaussian",
+    n_phi: int = 64,
+    sigma_px: float = 6.0,
+    grad_cutoff: float = 0.65,
+    motion_correct: bool = False,
+    motion_est_sigma_px: float = 0.0,
+    motion_smooth_window: int = 1,
+    motion_clip_px: float | None = None,
+) -> tuple[Array, Array]:
+    """Returns (X[(T-1)*P, 3], y[(T-1)*P]) for terms [lap, bih, gradsq]."""
+    if U.ndim != 3:
+        raise ValueError("U must be (T, Nx, Ny)")
+    t_len, nx, ny = U.shape
+    if t_len < 2:
+        raise ValueError("Need at least 2 frames")
+    dtype = U.dtype
+
+    if basis == "fourier":
+        phi_np, k2_np, k4_np = fourier_test_functions(nx, ny, lx, ly, max_k=max_k)
+        phi = jnp.asarray(phi_np, dtype=dtype)
+        k2 = jnp.asarray(k2_np, dtype=dtype)
+        k4 = jnp.asarray(k4_np, dtype=dtype)
+    elif basis == "gaussian":
+        phi = jnp.asarray(gaussian_test_functions(nx, ny, n_phi=n_phi, sigma_px=sigma_px), dtype=dtype)
+    else:
+        raise ValueError("weak basis must be 'fourier' or 'gaussian'")
+
+    P = phi.shape[0]
+    area = float(dx * dy)
+    phi_flat = phi.reshape(P, -1)  # (P, N)
+    U_flat = U.reshape(t_len, -1)  # (T, N)
+    S = area * (U_flat @ phi_flat.T)  # (T, P)
+    y = (S[1:] - S[:-1]) / float(dt_frame)  # (T-1, P)
+
+    if motion_correct:
+        sx_px, sy_px = estimate_interframe_shifts(U, estimate_sigma_px=float(motion_est_sigma_px))
+        sx_px = smooth_1d(sx_px, window=int(motion_smooth_window))
+        sy_px = smooth_1d(sy_px, window=int(motion_smooth_window))
+        if motion_clip_px is not None and float(motion_clip_px) > 0:
+            c = float(motion_clip_px)
+            sx_px = jnp.clip(sx_px, -c, c)
+            sy_px = jnp.clip(sy_px, -c, c)
+        vx = (-sx_px * float(dx)) / float(dt_frame)
+        vy = (-sy_px * float(dy)) / float(dt_frame)
+        phi_x, phi_y = gradients_spectral(phi, dx, dy, cutoff_frac=1.0)
+        U_phi_x = area * (U_flat[:-1] @ phi_x.reshape(P, -1).T)
+        U_phi_y = area * (U_flat[:-1] @ phi_y.reshape(P, -1).T)
+        y = y - (vx[:, None] * U_phi_x + vy[:, None] * U_phi_y)
+
+    if basis == "fourier":
+        X_lap = -S[:-1] * k2[None, :]
+        X_bih = S[:-1] * k4[None, :]
+    else:
+        lap_phi = laplacian_spectral(phi, dx, dy, cutoff_frac=1.0)
+        bih_phi = laplacian_spectral(lap_phi, dx, dy, cutoff_frac=1.0)
+        X_lap = area * (U_flat[:-1] @ lap_phi.reshape(P, -1).T)
+        X_bih = area * (U_flat[:-1] @ bih_phi.reshape(P, -1).T)
+
+    # nonlinear feature: <phi, |grad u|^2> — batched FFT over the frame axis
+    ux, uy = gradients_spectral(U[:-1], dx, dy, cutoff_frac=float(grad_cutoff))
+    gs = (ux**2 + uy**2).reshape(t_len - 1, -1)
+    X_gsq = area * (gs @ phi_flat.T)
+
+    X = jnp.stack([X_lap.reshape(-1), X_bih.reshape(-1), X_gsq.reshape(-1)], axis=1)
+    return X, y.reshape(-1)

@@ -1,0 +1,197 @@
+"""Smoothing / denoising filter bank.
+
+Parity targets:
+  * ``ks2d_stridge_benchmark.py:145-161`` — reflect-padded temporal moving
+    average via cumsum;
+  * ``ks2d_stridge_benchmark.py:1003-1014`` — 1-D edge-padded moving average;
+  * scipy.ndimage.gaussian_filter / median_filter as used by
+    ``analyze_results.py:217,246`` and ``comprehensive_benchmark.py:168-239``;
+  * ``comprehensive_benchmark.py:190-203`` — hand-rolled TV iteration;
+  * scipy.signal.savgol_filter (temporal, mode="interp") as used by
+    ``pde_discovery_improved_registration.py:370`` and
+    ``patch_based_sindy.py:88-119``.
+
+All filters are pure jittable functions acting on the trailing axes (or axis 0
+for temporal filters) and batch freely.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from jax import Array
+
+
+def time_smooth_moving_average(U: Array, window: int) -> Array:
+    """Centered moving average along axis 0 with reflect padding.
+
+    Parity: ``ks2d_stridge_benchmark.py:145-161`` (odd window required).
+    """
+    window = int(window)
+    if window <= 1:
+        return U
+    if window % 2 == 0:
+        raise ValueError("time smoothing window must be odd")
+    pad = window // 2
+    U_pad = jnp.pad(U, [(pad, pad)] + [(0, 0)] * (U.ndim - 1), mode="reflect")
+    zero = jnp.zeros_like(U_pad[:1])
+    cs = jnp.concatenate([zero, jnp.cumsum(U_pad, axis=0)], axis=0)
+    return (cs[window:] - cs[:-window]) / float(window)
+
+
+def smooth_1d(x: Array, window: int) -> Array:
+    """Centered moving average on the trailing axis with edge padding.
+
+    Parity: ``ks2d_stridge_benchmark.py:1003-1014`` (even windows are bumped
+    to the next odd value).
+    """
+    w = int(window)
+    if w <= 1:
+        return x
+    if w % 2 == 0:
+        w += 1
+    pad = w // 2
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="edge")
+    cs = jnp.concatenate([jnp.zeros_like(xp[..., :1]), jnp.cumsum(xp, axis=-1)], axis=-1)
+    return (cs[..., w:] - cs[..., :-w]) / float(w)
+
+
+def _gaussian_kernel1d(sigma: float, radius: int) -> np.ndarray:
+    """scipy.ndimage._gaussian_kernel1d semantics (order 0)."""
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    phi = np.exp(-0.5 / (sigma * sigma) * x**2)
+    return phi / phi.sum()
+
+
+def gaussian_filter_reflect(f: Array, sigma: float, truncate: float = 4.0) -> Array:
+    """Separable Gaussian filter matching scipy.ndimage.gaussian_filter defaults.
+
+    scipy's default mode is "reflect" = symmetric padding (edge sample
+    repeated), radius = int(truncate * sigma + 0.5). Acts on the trailing two
+    axes.
+    """
+    sigma = float(sigma)
+    if sigma <= 0:
+        return f
+    radius = int(truncate * sigma + 0.5)
+    k = jnp.asarray(_gaussian_kernel1d(sigma, radius), dtype=f.dtype)
+
+    def conv_axis(x: Array, axis: int) -> Array:
+        pads = [(0, 0)] * x.ndim
+        pads[axis] = (radius, radius)
+        xp = jnp.pad(x, pads, mode="symmetric")
+        xp = jnp.moveaxis(xp, axis, -1)
+        # correlate with symmetric kernel == convolve
+        n = xp.shape[-1]
+        out = jnp.zeros(xp.shape[:-1] + (n - 2 * radius,), dtype=x.dtype)
+        for i in range(2 * radius + 1):
+            out = out + k[i] * xp[..., i : n - 2 * radius + i]
+        return jnp.moveaxis(out, -1, axis)
+
+    out = conv_axis(f, f.ndim - 2)
+    out = conv_axis(out, f.ndim - 1)
+    return out
+
+
+def gaussian_filter1d_reflect(x: Array, sigma: float, axis: int = -1, truncate: float = 4.0) -> Array:
+    """1-D scipy-compatible Gaussian filter along ``axis``."""
+    sigma = float(sigma)
+    if sigma <= 0:
+        return x
+    radius = int(truncate * sigma + 0.5)
+    k = jnp.asarray(_gaussian_kernel1d(sigma, radius), dtype=x.dtype)
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (radius, radius)
+    xp = jnp.pad(x, pads, mode="symmetric")
+    xp = jnp.moveaxis(xp, axis, -1)
+    n = xp.shape[-1]
+    out = jnp.zeros(xp.shape[:-1] + (n - 2 * radius,), dtype=x.dtype)
+    for i in range(2 * radius + 1):
+        out = out + k[i] * xp[..., i : n - 2 * radius + i]
+    return jnp.moveaxis(out, -1, axis)
+
+
+def median_filter_3x3(f: Array) -> Array:
+    """3x3 median filter with symmetric (scipy 'reflect') borders.
+
+    Parity: scipy.ndimage.median_filter(size=3) as used in
+    ``comprehensive_benchmark.py:181-186``.
+    """
+    pads = [(0, 0)] * (f.ndim - 2) + [(1, 1), (1, 1)]
+    p = jnp.pad(f, pads, mode="symmetric")
+    stack = jnp.stack(
+        [p[..., i : i + f.shape[-2], j : j + f.shape[-1]] for i in range(3) for j in range(3)],
+        axis=-1,
+    )
+    return jnp.sort(stack, axis=-1)[..., 4]
+
+
+def tv_denoise(f: Array, weight: float = 0.1, n_iter: int = 50) -> Array:
+    """Hand-rolled TV-flavored smoothing iteration.
+
+    Parity: ``comprehensive_benchmark.py:190-203`` — forward-difference
+    gradients with wrap, normalized divergence, and the (unusual)
+    ``u = data + weight * div`` update that re-anchors to the input each step.
+    Acts on the trailing two axes; iterations unrolled under jit via scan.
+    """
+    import jax
+
+    def step(u, _):
+        gx = jnp.roll(u, -1, axis=-2) - u
+        gy = jnp.roll(u, -1, axis=-1) - u
+        norm = jnp.sqrt(gx**2 + gy**2 + 1e-8)
+        div = (gx - jnp.roll(gx, 1, axis=-2)) / norm + (gy - jnp.roll(gy, 1, axis=-1)) / norm
+        return f + weight * div, None
+
+    out, _ = jax.lax.scan(step, f, None, length=int(n_iter))
+    return out
+
+
+def _savgol_coeffs(window: int, polyorder: int) -> np.ndarray:
+    """Savitzky-Golay smoothing coefficients (scipy.signal.savgol_coeffs,
+    deriv=0): least-squares fit of a degree-``polyorder`` polynomial over the
+    centered window, evaluated at the center."""
+    if window % 2 == 0:
+        raise ValueError("savgol window must be odd")
+    half = window // 2
+    x = np.arange(-half, half + 1, dtype=np.float64)
+    A = np.vander(x, polyorder + 1, increasing=True)  # (window, p+1)
+    # coeffs c s.t. smoothed center = c @ values; c = e0^T (A^T A)^-1 A^T
+    ATA = A.T @ A
+    rhs = np.zeros(polyorder + 1)
+    rhs[0] = 1.0
+    sol = np.linalg.solve(ATA, rhs)
+    return A @ sol  # (window,)
+
+
+def savgol_time(U: Array, window: int, polyorder: int) -> Array:
+    """Savitzky-Golay filter along axis 0 with scipy's mode="interp" edges.
+
+    Interior: correlation with the smoothing kernel. Edges: exact polynomial
+    least-squares fit over the first/last ``window`` samples evaluated at the
+    edge positions (scipy.signal.savgol_filter mode="interp" semantics).
+    """
+    window = int(window)
+    polyorder = int(polyorder)
+    T = U.shape[0]
+    if window > T:
+        raise ValueError("savgol window longer than sequence")
+    half = window // 2
+    coeffs = jnp.asarray(_savgol_coeffs(window, polyorder), dtype=U.dtype)
+
+    # interior via shifted sum
+    interior = jnp.zeros((T - 2 * half,) + U.shape[1:], dtype=U.dtype)
+    for i in range(window):
+        interior = interior + coeffs[i] * U[i : T - 2 * half + i]
+
+    # edge fits: degree-polyorder LSQ over first/last `window` samples
+    x = np.arange(window, dtype=np.float64)
+    A = np.vander(x, polyorder + 1, increasing=True)
+    # evaluation matrices: P_edge[i] = row that maps window-values -> fitted value at pos i
+    proj = A @ np.linalg.solve(A.T @ A, A.T)  # (window, window)
+    Pl = jnp.asarray(proj[:half], dtype=U.dtype)  # evaluate at 0..half-1
+    Pr = jnp.asarray(proj[window - half :], dtype=U.dtype)  # last half positions
+
+    first = jnp.tensordot(Pl, U[:window], axes=(1, 0))
+    last = jnp.tensordot(Pr, U[T - window :], axes=(1, 0))
+    return jnp.concatenate([first, interior, last], axis=0)

@@ -1,0 +1,182 @@
+"""Gather-based bilinear sampling, warping, and resizing (device-side).
+
+TPU-native replacements for the OpenCV C++ primitives the reference leans on:
+``cv2.warpAffine`` (INTER_LINEAR, BORDER_WRAP) used for subpixel shifts
+(``ks2d_stridge_benchmark.py:785-798``), ``cv2.remap`` with reflect border
+used for dense-flow warping (``pde_discovery_improved_registration.py:88-97``),
+and ``cv2.resize`` INTER_AREA / INTER_LINEAR used for image downscaling
+(``analyze_results.py:213``, ``transport_pde_discovery.py:254-256``).
+
+Coordinates are in array-axis convention: ``x`` indexes axis -2 (rows), ``y``
+indexes axis -1 (cols) — the same convention the reference uses after
+translating OpenCV's (col, row) arguments.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import Array
+
+
+def _gather2d(f: Array, ix: Array, iy: Array) -> Array:
+    """f[..., ix, iy] with integer index arrays broadcast over leading axes."""
+    return f[..., ix, iy]
+
+
+def bilinear_sample_periodic(f: Array, x: Array, y: Array) -> Array:
+    """Sample f at fractional coordinates with periodic wrapping.
+
+    ``x``/``y`` are float arrays (any shape); output has shape
+    ``f.shape[:-2] + x.shape``.
+    """
+    H, W = f.shape[-2], f.shape[-1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    tx = (x - x0).astype(f.dtype)
+    ty = (y - y0).astype(f.dtype)
+    x0i = jnp.mod(x0.astype(jnp.int32), H)
+    y0i = jnp.mod(y0.astype(jnp.int32), W)
+    x1i = jnp.mod(x0i + 1, H)
+    y1i = jnp.mod(y0i + 1, W)
+    f00 = _gather2d(f, x0i, y0i)
+    f01 = _gather2d(f, x0i, y1i)
+    f10 = _gather2d(f, x1i, y0i)
+    f11 = _gather2d(f, x1i, y1i)
+    return (
+        f00 * (1 - tx) * (1 - ty)
+        + f01 * (1 - tx) * ty
+        + f10 * tx * (1 - ty)
+        + f11 * tx * ty
+    )
+
+
+def _reflect101_index(i: Array, n: int) -> Array:
+    """BORDER_REFLECT_101 index folding: ... 2 1 | 0 1 2 ... n-1 | n-2 n-3 ...
+
+    Period is 2(n-1); valid for any integer input when n >= 2.
+    """
+    if n == 1:
+        return jnp.zeros_like(i)
+    period = 2 * (n - 1)
+    j = jnp.mod(i, period)
+    return jnp.where(j >= n, period - j, j)
+
+
+def bilinear_sample_reflect(f: Array, x: Array, y: Array) -> Array:
+    """Sample f at fractional coordinates with BORDER_REFLECT_101 folding
+    (OpenCV's default border for remap in the reference registration code)."""
+    H, W = f.shape[-2], f.shape[-1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    tx = (x - x0).astype(f.dtype)
+    ty = (y - y0).astype(f.dtype)
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    xa = _reflect101_index(x0i, H)
+    xb = _reflect101_index(x0i + 1, H)
+    ya = _reflect101_index(y0i, W)
+    yb = _reflect101_index(y0i + 1, W)
+    f00 = _gather2d(f, xa, ya)
+    f01 = _gather2d(f, xa, yb)
+    f10 = _gather2d(f, xb, ya)
+    f11 = _gather2d(f, xb, yb)
+    return (
+        f00 * (1 - tx) * (1 - ty)
+        + f01 * (1 - tx) * ty
+        + f10 * tx * (1 - ty)
+        + f11 * tx * ty
+    )
+
+
+def shift_periodic(f: Array, shift_x: Array | float, shift_y: Array | float) -> Array:
+    """Subpixel translation with periodic wrap: out[r, c] = f(r - sx, c - sy).
+
+    Parity: ``_shift_frame_wrap`` (ks2d_stridge_benchmark.py:785-798) —
+    cv2.warpAffine with M = [[1,0,sy],[0,1,sx]], INTER_LINEAR, BORDER_WRAP
+    moves image content by (+sx rows, +sy cols).
+    """
+    H, W = f.shape[-2], f.shape[-1]
+    dtype = jnp.result_type(f.dtype, jnp.float32)
+    r = jnp.arange(H, dtype=dtype)[:, None]
+    c = jnp.arange(W, dtype=dtype)[None, :]
+    return bilinear_sample_periodic(f, r - shift_x, c - shift_y)
+
+
+def shift_reflect(f: Array, shift_x: Array | float, shift_y: Array | float) -> Array:
+    """Subpixel translation with BORDER_REFLECT_101 (real-image variant,
+    ``analyze_results.py:120-127``)."""
+    H, W = f.shape[-2], f.shape[-1]
+    dtype = jnp.result_type(f.dtype, jnp.float32)
+    r = jnp.arange(H, dtype=dtype)[:, None]
+    c = jnp.arange(W, dtype=dtype)[None, :]
+    return bilinear_sample_reflect(f, r - shift_x, c - shift_y)
+
+
+def remap_bilinear(f: Array, map_x: Array, map_y: Array, *, border: str = "reflect") -> Array:
+    """Backward-map warp: out[r, c] = f(map_x[r, c], map_y[r, c]).
+
+    Parity: ``cv2.remap(frame, map_y, map_x, INTER_LINEAR, BORDER_REFLECT)``
+    as used for optical-flow registration warps
+    (``pde_discovery_improved_registration.py:88-97``).
+    """
+    if border == "reflect":
+        return bilinear_sample_reflect(f, map_x, map_y)
+    if border == "wrap":
+        return bilinear_sample_periodic(f, map_x, map_y)
+    raise ValueError(f"unknown border mode: {border}")
+
+
+def warp_flow(f: Array, flow_x: Array, flow_y: Array, *, border: str = "reflect") -> Array:
+    """Warp by a dense backward flow: out(p) = f(p + flow(p))."""
+    H, W = f.shape[-2], f.shape[-1]
+    dtype = flow_x.dtype
+    r = jnp.arange(H, dtype=dtype)[:, None]
+    c = jnp.arange(W, dtype=dtype)[None, :]
+    return remap_bilinear(f, r + flow_x, c + flow_y, border=border)
+
+
+def resize_area(f: Array, out_h: int, out_w: int) -> Array:
+    """cv2.INTER_AREA-style resize for shrinking (exact for integer factors:
+    plain block mean; fractional factors use exact pixel-coverage weights).
+
+    Parity: ``cv2.resize(img, None, fx=0.5, fy=0.5, INTER_AREA)``
+    (``analyze_results.py:213``).
+    """
+    H, W = f.shape[-2], f.shape[-1]
+    if H % out_h == 0 and W % out_w == 0:
+        bh, bw = H // out_h, W // out_w
+        g = f.reshape(f.shape[:-2] + (out_h, bh, out_w, bw))
+        return g.mean(axis=(-3, -1))
+    # general coverage-weighted average along each axis separately
+    def axis_weights(n_in: int, n_out: int) -> jnp.ndarray:
+        scale = n_in / n_out
+        Wm = jnp.zeros((n_out, n_in))
+        import numpy as _np
+
+        Wnp = _np.zeros((n_out, n_in))
+        for o in range(n_out):
+            a, b = o * scale, (o + 1) * scale
+            i0, i1 = int(_np.floor(a)), int(_np.ceil(b))
+            for i in range(i0, min(i1, n_in)):
+                cov = min(b, i + 1) - max(a, i)
+                if cov > 0:
+                    Wnp[o, i] = cov / scale
+        return jnp.asarray(Wnp, dtype=f.dtype)
+
+    Wh = axis_weights(H, out_h)
+    Ww = axis_weights(W, out_w)
+    out = jnp.einsum("oh,...hw->...ow", Wh, f)
+    return jnp.einsum("pw,...ow->...op", Ww, out)
+
+
+def resize_bilinear(f: Array, out_h: int, out_w: int) -> Array:
+    """cv2.INTER_LINEAR resize semantics (half-pixel centers, edge clamp)."""
+    H, W = f.shape[-2], f.shape[-1]
+    dtype = jnp.result_type(f.dtype, jnp.float32)
+    sx = H / out_h
+    sy = W / out_w
+    x = (jnp.arange(out_h, dtype=dtype) + 0.5) * sx - 0.5
+    y = (jnp.arange(out_w, dtype=dtype) + 0.5) * sy - 0.5
+    x = jnp.clip(x, 0.0, H - 1.0)[:, None] * jnp.ones((1, out_w), dtype=dtype)
+    y = jnp.clip(y, 0.0, W - 1.0)[None, :] * jnp.ones((out_h, 1), dtype=dtype)
+    return bilinear_sample_reflect(f, x, y)

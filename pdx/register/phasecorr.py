@@ -1,0 +1,131 @@
+"""FFT phase correlation with subpixel (weighted-centroid) peak refinement.
+
+TPU-native equivalent of cv2.phaseCorrelate as used by
+``estimate_shift_phasecorr`` / ``stabilize_translation_sequence`` /
+``estimate_interframe_shifts`` (ks2d_stridge_benchmark.py:907-1000) and the
+real-image variant (analyze_results.py:102-133).
+
+Algorithm (matching OpenCV's phasecorr.cpp semantics, no Hanning window since
+the reference never passes one): cross power spectrum R = F1 conj(F2) / |.|,
+inverse FFT -> correlation surface, integer argmax, then a 5x5
+weighted-centroid subpixel refinement around the peak with wrap-around
+indexing, and center-origin unwrapping of the result.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from pdx.ops.interp import shift_periodic, shift_reflect
+from pdx.ops.spectral import gaussian_smooth_periodic
+from pdx.ops.filters import gaussian_filter_reflect
+
+
+@partial(jax.jit, static_argnames=())
+def phase_correlate(ref: Array, mov: Array) -> tuple[Array, Array]:
+    """Returns (dr, dc): the translation of ``mov`` relative to ``ref`` in
+    (row, col) array coordinates — i.e. mov ~= ref shifted by (dr, dc).
+
+    Equivalent to cv2.phaseCorrelate(ref, mov) returning (dx=dc, dy=dr).
+    """
+    H, W = ref.shape[-2], ref.shape[-1]
+    F1 = jnp.fft.fft2(ref)
+    F2 = jnp.fft.fft2(mov)
+    R = F1 * jnp.conj(F2)
+    mag = jnp.abs(R)
+    R = jnp.where(mag > 0, R / (mag + 1e-30), 0.0)
+    cc = jnp.fft.ifft2(R).real
+
+    flat = jnp.argmax(cc.reshape(cc.shape[:-2] + (-1,)), axis=-1)
+    pr = flat // W
+    pc = flat % W
+
+    # 5x5 weighted centroid around the peak with wrap indexing
+    offs = jnp.arange(-2, 3)
+    rr = jnp.mod(pr[..., None] + offs, H)  # (..., 5)
+    ccol = jnp.mod(pc[..., None] + offs, W)
+    patch = cc[..., rr[..., :, None], ccol[..., None, :]]  # (..., 5, 5)
+    patch = jnp.maximum(patch, 0.0)
+    wsum = jnp.sum(patch, axis=(-2, -1)) + 1e-30
+    dr_off = jnp.sum(patch * offs[:, None], axis=(-2, -1)) / wsum
+    dc_off = jnp.sum(patch * offs[None, :], axis=(-2, -1)) / wsum
+
+    peak_r = pr.astype(cc.dtype) + dr_off
+    peak_c = pc.astype(cc.dtype) + dc_off
+    # unwrap to signed displacement: correlation peak at +s means mov is ref
+    # shifted by -s rows, so the shift of mov relative to ref is -peak (wrapped)
+    peak_r = jnp.where(peak_r > H / 2, peak_r - H, peak_r)
+    peak_c = jnp.where(peak_c > W / 2, peak_c - W, peak_c)
+    return -peak_r, -peak_c
+
+
+def estimate_shift_phasecorr(ref: Array, mov: Array) -> tuple[Array, Array]:
+    """(sx, sy) shift to apply to ``mov`` (via shift_periodic/reflect) so it
+    aligns with ``ref`` — the reference's negation convention
+    (ks2d_stridge_benchmark.py:907-920)."""
+    dr, dc = phase_correlate(ref, mov)
+    return -dr, -dc
+
+
+def estimate_interframe_shifts(U: Array, *, estimate_sigma_px: float = 0.0) -> tuple[Array, Array]:
+    """Frame-to-frame shifts (t -> t+1), vectorized over all pairs at once.
+
+    Parity: ks2d_stridge_benchmark.py:976-1000 (the reference loops frames;
+    here all T-1 phase correlations run as one batched FFT).
+    """
+    Us = gaussian_smooth_periodic(U, estimate_sigma_px) if estimate_sigma_px > 0 else U
+    dr, dc = phase_correlate(Us[:-1], Us[1:])
+    return -dr, -dc
+
+
+def stabilize_translation_sequence(
+    U: Array,
+    *,
+    mode: str = "to_first",
+    estimate_sigma_px: float = 0.0,
+    border: str = "wrap",
+    smooth: str = "periodic",
+) -> Array:
+    """Undo global translations by phase correlation.
+
+    Parity: ks2d_stridge_benchmark.py:940-973 (wrap border, periodic
+    estimation smoothing) and analyze_results.py:110-133 (reflect border,
+    scipy gaussian estimation smoothing).
+
+    ``to_first`` estimates every frame against frame 0 — fully parallel
+    (one batched phase correlation). ``to_prev`` aligns against the previous
+    *aligned* frame — inherently sequential, expressed as lax.scan.
+    """
+    if mode not in {"to_first", "to_prev"}:
+        raise ValueError("stabilize mode must be 'to_first' or 'to_prev'")
+    sigma = float(estimate_sigma_px)
+
+    def smooth_fn(x):
+        if sigma <= 0:
+            return x
+        if smooth == "periodic":
+            return gaussian_smooth_periodic(x, sigma)
+        return gaussian_filter_reflect(x, sigma)
+
+    shift_fn = shift_periodic if border == "wrap" else shift_reflect
+
+    if mode == "to_first":
+        ref_est = smooth_fn(U[0])
+        mov_est = smooth_fn(U[1:])
+        dr, dc = phase_correlate(jnp.broadcast_to(ref_est, mov_est.shape), mov_est)
+        sx, sy = -dr, -dc
+        aligned = jax.vmap(shift_fn)(U[1:], sx, sy)
+        return jnp.concatenate([U[:1], aligned], axis=0)
+
+    def step(ref_est, mov):
+        mov_est = smooth_fn(mov)
+        dr, dc = phase_correlate(ref_est, mov_est)
+        out = shift_fn(mov, -dr, -dc)
+        return smooth_fn(out), out
+
+    _, aligned = jax.lax.scan(step, smooth_fn(U[0]), U[1:])
+    return jnp.concatenate([U[:1], aligned], axis=0)

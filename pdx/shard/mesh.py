@@ -1,0 +1,64 @@
+"""Mesh construction + sharded Gram reduction (the framework's collectives).
+
+The workload's parallel axes (SURVEY §2.9): samples (data-parallel Gram
+accumulation with a psum over the mesh), patches / bootstrap members /
+hyperparameter grid points (embarrassingly parallel batched solves, sharded
+over the mesh), and frames (batched FFT/stencil evaluation).
+
+Everything reaches XLA collectives implicitly through jit + NamedSharding /
+shard_map — no hand-rolled communication backend, per the TPU-native recipe:
+pick a mesh, annotate shardings, let XLA insert the psum/all-gathers over ICI.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, axis_name: str = "data") -> Mesh:
+    """1-D device mesh over the first n_devices (default: all)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis_name,))
+
+
+def shard_batch(x: Array, mesh: Mesh, axis_name: str = "data") -> Array:
+    """Place ``x`` with its leading axis sharded over ``axis_name``."""
+    spec = P(axis_name, *([None] * (x.ndim - 1)))
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def sharded_gram_stats(X: Array, y: Array, mesh: Mesh, axis_name: str = "data") -> dict[str, Array]:
+    """Gram sufficient statistics with the sample axis sharded over the mesh.
+
+    Each device computes its local X_i^T X_i / X_i^T y_i on the MXU; one psum
+    over ICI produces the replicated (p, p)/(p,) stats. This is the
+    multi-chip form of :func:`pdx.ops.linalg.gram_stats` — the only
+    cross-device communication the regression stack needs, O(p^2) bytes.
+    """
+    p = X.shape[1]
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis_name, None), P(axis_name)),
+        out_specs=(P(), P(), P(), P(), P(), P()),
+    )
+    def local_stats(Xl, yl):
+        G = jax.lax.psum(Xl.T @ Xl, axis_name)
+        b = jax.lax.psum(Xl.T @ yl, axis_name)
+        sx = jax.lax.psum(jnp.sum(Xl, axis=0), axis_name)
+        n = jax.lax.psum(jnp.asarray(Xl.shape[0], dtype=Xl.dtype), axis_name)
+        syy = jax.lax.psum(jnp.sum(yl * yl), axis_name)
+        sy = jax.lax.psum(jnp.sum(yl), axis_name)
+        return G, b, sx, n, syy, sy
+
+    G, b, sx, n, syy, sy = local_stats(X, y)
+    return {"G": G, "b": b, "sx": sx, "n": n, "syy": syy, "sy": sy}

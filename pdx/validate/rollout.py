@@ -1,0 +1,177 @@
+"""One-step prediction and k-step explicit-Euler rollout validation.
+
+Parity targets:
+  * one_step_prediction_rmse (analyze_results.py:157-186);
+  * rollout_k_rmse (analyze_results.py:348-393) — k Euler steps from every
+    valid start time, RMSE/nRMSE on an optional spatial mask;
+  * KS benchmark rollout (ks2d_stridge_benchmark.py:1805-1838).
+
+TPU-first: the reference's double Python loop (start times x k steps x
+per-frame stencils) becomes ``vmap`` over start frames and ``lax.scan`` over
+steps — one compiled dispatch per (model, k_max) instead of
+O(T * k * models) interpreted stencil passes.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from pdx.library.dictionaries import real_image_term_fields
+from pdx.ops.fd import gradients_periodic, laplacian_periodic
+
+
+def make_rhs_periodic(names: list[str], coeffs: Array, dx: float, dy: float) -> Callable[[Array], Array]:
+    """Term-map RHS with periodic FD derivatives (KS benchmark rollout,
+    ks2d_stridge_benchmark.py:1805-1827)."""
+
+    def rhs(u: Array) -> Array:
+        ux, uy = gradients_periodic(u, dx, dy)
+        lap = laplacian_periodic(u, dx, dy)
+        bih = laplacian_periodic(lap, dx, dy)
+        vals = {
+            "one": jnp.ones_like(u),
+            "u": u,
+            "u2": u**2,
+            "ux": ux,
+            "uy": uy,
+            "lap": lap,
+            "bih": bih,
+            "gradsq": ux**2 + uy**2,
+            "u_lap": u * lap,
+        }
+        out = jnp.zeros_like(u)
+        for name, c in zip(names, coeffs):
+            out = out + c * vals[name]
+        return out
+
+    return rhs
+
+
+def make_rhs_reflect(names: list[str], coeffs: Array, dx: float, dy: float) -> Callable[[Array], Array]:
+    """Term-map RHS with reflect-padded derivatives (real-image rollout,
+    analyze_results.py:318-345)."""
+
+    def rhs(u: Array) -> Array:
+        fields = real_image_term_fields(u, dx, dy)
+        out = jnp.zeros_like(u)
+        for name, c in zip(names, coeffs):
+            out = out + c * fields[name]
+        return out
+
+    return rhs
+
+
+def one_step_prediction_rmse(
+    u_field: Array,
+    ut_pred: Array,
+    dt: float = 1.0,
+    spatial_mask: Array | None = None,
+) -> Array:
+    """u(t+1) ~ u(t) + dt * ut_pred(t); RMSE over all forward pairs."""
+    t_max = min(u_field.shape[0] - 1, ut_pred.shape[0])
+    u0 = u_field[:t_max]
+    u1 = u_field[1 : t_max + 1]
+    err = (u1 - (u0 + dt * ut_pred[:t_max])) ** 2
+    if spatial_mask is not None:
+        m = jnp.broadcast_to(spatial_mask, err.shape)
+        return jnp.sqrt(jnp.sum(err * m) / jnp.sum(m))
+    return jnp.sqrt(jnp.mean(err))
+
+
+def rollout_predict(rhs: Callable[[Array], Array], u0: Array, k: int, dt: float) -> Array:
+    """k explicit-Euler steps from u0 (scan)."""
+
+    def step(u, _):
+        return u + dt * rhs(u), None
+
+    u, _ = jax.lax.scan(step, u0, None, length=int(k))
+    return u
+
+
+def rollout_trajectories(
+    rhs: Callable[[Array], Array], starts: Array, k_max: int, dt: float
+) -> Array:
+    """All intermediate rollout states for a batch of start frames.
+
+    Returns (k_max, n_starts, H, W): step j holds u(t0 + j + 1) predictions.
+    vmap over starts + scan over steps — the entire rollout curve for every
+    horizon comes from one dispatch.
+    """
+
+    def step(u, _):
+        u_next = u + dt * jax.vmap(rhs)(u)
+        return u_next, u_next
+
+    _, traj = jax.lax.scan(step, starts, None, length=int(k_max))
+    return traj
+
+
+def rollout_k_rmse(
+    u_true: Array,
+    rhs: Callable[[Array], Array],
+    k: int,
+    t0: int,
+    t1: int,
+    dt: float,
+    spatial_mask: Array | None = None,
+) -> dict[str, Array]:
+    """k-step rollout RMSE over start times t in [t0, t1-k) — reference
+    enumeration (analyze_results.py:364-393)."""
+    if k <= 0 or (t1 - t0) <= k:
+        nan = jnp.asarray(jnp.nan, dtype=u_true.dtype)
+        return {"rmse": nan, "nrmse": nan}
+    starts = u_true[t0 : t1 - k]
+    traj = rollout_trajectories(rhs, starts, k, dt)  # (k, n, H, W)
+    preds = traj[-1]
+    targets = u_true[t0 + k : t1]
+    diff2 = (targets - preds) ** 2
+    if spatial_mask is not None:
+        m = jnp.broadcast_to(spatial_mask, diff2.shape)
+        msum = jnp.sum(m)
+        rm = jnp.sqrt(jnp.sum(diff2 * m) / msum)
+        tsel = targets * m
+        tmean = jnp.sum(tsel) / msum
+        tstd = jnp.sqrt(jnp.sum(((targets - tmean) ** 2) * m) / msum)
+    else:
+        rm = jnp.sqrt(jnp.mean(diff2))
+        tstd = jnp.std(targets)
+    return {"rmse": rm, "nrmse": rm / (tstd + 1e-12)}
+
+
+def rollout_curve(
+    u_true: Array,
+    rhs: Callable[[Array], Array],
+    k_list: list[int],
+    t0: int,
+    t1: int,
+    dt: float,
+    spatial_mask: Array | None = None,
+) -> dict[int, dict[str, Array]]:
+    """Rollout metrics for every horizon in k_list, sharing one trajectory scan.
+
+    For each k, the reference restarts rollouts from every t in [t0, t1-k);
+    we run one scan from the maximal start set and mask the per-k valid range.
+    """
+    out: dict[int, dict[str, Array]] = {}
+    for k in k_list:
+        out[int(k)] = rollout_k_rmse(u_true, rhs, int(k), t0, t1, dt, spatial_mask)
+    return out
+
+
+def rollout_rmse_curve(
+    U: Array, rhs: Callable[[Array], Array], n_steps: int, dt: float
+) -> Array:
+    """Single-trajectory rollout from U[0]: errs[k] = rmse(U[k+1], u_hat_k)
+    (ks2d_stridge_benchmark.py:1829-1835)."""
+
+    def step(u, target):
+        u_next = u + dt * rhs(u)
+        err = jnp.sqrt(jnp.mean((target - u_next) ** 2))
+        return u_next, err
+
+    _, errs = jax.lax.scan(step, U[0], U[1 : n_steps + 1])
+    return errs

@@ -1,0 +1,64 @@
+"""Multi-device tests on the 8-way virtual CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pdx.ops.linalg import gram_stats
+from pdx.shard.mesh import make_mesh, sharded_gram_stats, shard_batch
+from pdx.solve.stridge import stridge_from_stats
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(8)
+
+
+class TestShardedGram:
+    def test_matches_single_device(self, mesh):
+        rng = np.random.default_rng(0)
+        X = jnp.asarray(rng.normal(size=(1024, 7)))
+        y = jnp.asarray(rng.normal(size=1024))
+        want = gram_stats(X, y)
+        Xs = shard_batch(X, mesh)
+        ys = shard_batch(y, mesh)
+        got = sharded_gram_stats(Xs, ys, mesh)
+        for k in ("G", "b", "sx", "n", "syy", "sy"):
+            np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]), rtol=1e-10)
+
+    def test_stridge_on_sharded_stats(self, mesh):
+        rng = np.random.default_rng(1)
+        p = 6
+        X = jnp.asarray(rng.normal(size=(2048, p)))
+        true = np.zeros(p)
+        true[[1, 4]] = [2.0, -1.5]
+        y = X @ jnp.asarray(true)
+        got = stridge_from_stats(
+            sharded_gram_stats(shard_batch(X, mesh), shard_batch(y, mesh), mesh),
+            alpha=1e-8,
+            threshold=1e-3,
+        )
+        np.testing.assert_allclose(np.asarray(got.coeffs), true, atol=1e-6)
+
+
+class TestGraftEntry:
+    def test_entry_compiles(self):
+        import sys, pathlib
+
+        sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+        import __graft_entry__ as ge
+
+        fn, args = ge.entry()
+        out = jax.jit(fn)(*args)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_dryrun_multichip(self):
+        import sys, pathlib
+
+        sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(8)
