@@ -1,0 +1,214 @@
+"""Transport-form (continuity-equation) PDE discovery on real images.
+
+End-to-end parity with ``scripts/transport_pde_discovery.py``: load TIFFs ->
+max-normalize -> Farnebäck velocity fields for all consecutive pairs (4x
+downsampled) -> 13-term transport library with np.gradient(edge_order=2)
+derivatives -> light spatial smoothing -> Lasso sweep over alpha in
+{0.001, 0.01, 0.1}.
+
+TPU-native structure: all frame-pair flows are one vmapped pyramid flow
+(the reference loops 50 cv2 calls); the library is built by batched stencils;
+Lasso runs on device (FISTA on the Gram — same convex minimizer as sklearn's
+coordinate descent).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Any
+
+import numpy as np
+import jax.numpy as jnp
+
+from pdx.io_host.images import load_images
+from pdx.io_host.artifacts import write_json
+from pdx.ops.fd import gradient_edge2
+from pdx.ops.filters import gaussian_filter_reflect
+from pdx.ops.interp import resize_bilinear
+from pdx.register.farneback import farneback_flow_pairs
+from pdx.solve.lasso import lasso_ista
+
+TERM_NAMES = [
+    "constant", "rho", "drho_dx", "drho_dy", "laplacian", "transport",
+    "rho_div", "advection", "rho_u", "rho_v", "rho_squared", "u_drho_dx", "v_drho_dy",
+]
+
+
+@dataclass(frozen=True)
+class TransportConfig:
+    data_dir: str = "data/Real-Images"
+    output_dir: str = "outputs/latest/transport"
+    max_images: int = 51
+    downsample: int = 4
+    dt: float = 1.0
+    dx: float = 1.0
+    dy: float = 1.0
+    spatial_smooth: float = 0.5
+    alphas: tuple[float, ...] = (0.001, 0.01, 0.1)
+    # flow parameters (transport_pde_discovery.py:68-78)
+    flow_levels: int = 3
+    flow_winsize: int = 15
+    flow_iterations: int = 3
+    flow_poly_n: int = 5
+    flow_poly_sigma: float = 1.2
+    dtype: str = "float64"
+    write_artifacts: bool = True
+
+
+def build_transport_library(
+    rho: jnp.ndarray, flow_u: jnp.ndarray, flow_v: jnp.ndarray, cfg: TransportConfig
+) -> tuple[dict[str, jnp.ndarray], jnp.ndarray]:
+    """13-term library + target (transport_pde_discovery.py:85-147).
+
+    Convention (reference): x = cols (axis 2), y = rows (axis 1); flow_u is
+    the col-displacement field, flow_v the row-displacement.
+    """
+    dt, dx, dy = cfg.dt, cfg.dx, cfg.dy
+    drho_dt = gradient_edge2(rho, dt, 0)
+    drho_dx = gradient_edge2(rho, dx, 2)
+    drho_dy = gradient_edge2(rho, dy, 1)
+    d2x = gradient_edge2(drho_dx, dx, 2)
+    d2y = gradient_edge2(drho_dy, dy, 1)
+    laplacian = d2x + d2y
+    du_dx = gradient_edge2(flow_u, dx, 2)
+    dv_dy = gradient_edge2(flow_v, dy, 1)
+    divergence = du_dx + dv_dy
+    advection = flow_u * drho_dx[:-1] + flow_v * drho_dy[:-1]
+    rho_div = rho[:-1] * divergence
+    library = {
+        "constant": jnp.ones_like(rho[:-1]),
+        "rho": rho[:-1],
+        "drho_dx": drho_dx[:-1],
+        "drho_dy": drho_dy[:-1],
+        "laplacian": laplacian[:-1],
+        "transport": rho_div + advection,
+        "rho_div": rho_div,
+        "advection": advection,
+        "rho_u": rho[:-1] * flow_u,
+        "rho_v": rho[:-1] * flow_v,
+        "rho_squared": rho[:-1] ** 2,
+        "u_drho_dx": flow_u * drho_dx[:-1],
+        "v_drho_dy": flow_v * drho_dy[:-1],
+    }
+    return library, drho_dt[:-1]
+
+
+def run(cfg: TransportConfig, U_raw: np.ndarray | None = None) -> dict[str, Any]:
+    from pdx.utils.precision import resolve_dtype
+
+    dtype = resolve_dtype(cfg.dtype)
+    if U_raw is None:
+        U_raw = load_images(cfg.data_dir, max_images=cfg.max_images)
+    images = jnp.asarray(U_raw, dtype=dtype)
+    images = images / images.max()
+
+    T, H, W = images.shape
+    h_ds, w_ds = H // cfg.downsample, W // cfg.downsample
+    imgs_ds = resize_bilinear(images, h_ds, w_ds)
+
+    # per-pair min-max normalization for flow estimation (reference
+    # normalizes each frame to 0-255 before Farnebäck)
+    mn = imgs_ds.min(axis=(1, 2), keepdims=True)
+    mx = imgs_ds.max(axis=(1, 2), keepdims=True)
+    imgs_n = (imgs_ds - mn) / (mx - mn + 1e-12)
+    flow_r, flow_c = farneback_flow_pairs(
+        imgs_n,
+        pyr_scale=0.5,
+        levels=cfg.flow_levels,
+        winsize=cfg.flow_winsize,
+        iterations=cfg.flow_iterations,
+        poly_n=cfg.flow_poly_n,
+        poly_sigma=cfg.flow_poly_sigma,
+        gaussian_win=False,
+    )
+    # reference convention: flow_u = col component, flow_v = row component
+    flow_u, flow_v = flow_c, flow_r
+
+    import jax
+
+    @jax.jit
+    def build_Xy(imgs_ds, flow_u, flow_v):
+        library, target = build_transport_library(imgs_ds, flow_u, flow_v, cfg)
+        if cfg.spatial_smooth > 0:
+            library = {k: gaussian_filter_reflect(v, cfg.spatial_smooth) for k, v in library.items()}
+            target = gaussian_filter_reflect(target, cfg.spatial_smooth)
+        X = jnp.stack([library[n].reshape(-1) for n in TERM_NAMES], axis=1)
+        return X, target.reshape(-1)
+
+    X, y = build_Xy(imgs_ds, flow_u, flow_v)
+    valid = np.isfinite(np.asarray(X)).all(axis=1) & np.isfinite(np.asarray(y))
+    X = jnp.asarray(np.asarray(X)[valid])
+    y = jnp.asarray(np.asarray(y)[valid])
+
+    results = {}
+    for alpha in cfg.alphas:
+        coef, intercept = lasso_ista(X, y, float(alpha), max_iter=5000)
+        y_pred = X @ coef + intercept
+        resid = y - y_pred
+        ss_res = float(jnp.sum(resid**2))
+        ss_tot = float(jnp.sum((y - jnp.mean(y)) ** 2))
+        active = [
+            (n, float(c)) for n, c in zip(TERM_NAMES, np.asarray(coef)) if abs(float(c)) > 1e-10
+        ]
+        results[float(alpha)] = {
+            "coefficients": np.asarray(coef),
+            "intercept": float(intercept),
+            "active_terms": active,
+            "r2": 1.0 - ss_res / ss_tot,
+            "mse": float(jnp.mean(resid**2)),
+            "mae": float(jnp.mean(jnp.abs(resid))),
+        }
+
+    mean_speed = float(jnp.mean(jnp.sqrt(flow_u**2 + flow_v**2)))
+    out = {
+        "config": dataclasses.asdict(cfg),
+        "term_names": TERM_NAMES,
+        "results": results,
+        "mean_flow_speed": mean_speed,
+        "n_samples": int(y.shape[0]),
+    }
+    if cfg.write_artifacts:
+        from pathlib import Path
+
+        write_json(
+            Path(cfg.output_dir) / "transport_results.json",
+            {
+                "mean_flow_speed": mean_speed,
+                "term_names": TERM_NAMES,
+                "results": {
+                    str(a): {k: v for k, v in r.items() if k != "model"}
+                    for a, r in results.items()
+                },
+            },
+        )
+    return out
+
+
+def mass_conservation_drift(U: np.ndarray) -> float:
+    """Relative drift of total intensity over the sequence (the 0.54%
+    transport-form premise, transport_pde_discovery.py:10)."""
+    sums = np.asarray(U).sum(axis=(1, 2))
+    return float((sums.max() - sums.min()) / (sums.mean() + 1e-12) * 100.0)
+
+
+def cmd_transport(argv: list[str]) -> int:
+    import argparse
+
+    parser = argparse.ArgumentParser(prog="pdx transport")
+    parser.add_argument("--data-dir", default="data/Real-Images")
+    parser.add_argument("--output-dir", default="outputs/latest/transport")
+    parser.add_argument("--max-images", type=int, default=51)
+    parser.add_argument("--downsample", type=int, default=4)
+    args = parser.parse_args(argv)
+    cfg = TransportConfig(
+        data_dir=args.data_dir, output_dir=args.output_dir,
+        max_images=args.max_images, downsample=args.downsample,
+    )
+    out = run(cfg)
+    print(f"Mean optical-flow speed: {out['mean_flow_speed']:.3f} px/frame")
+    for alpha, r in out["results"].items():
+        print(f"\nalpha={alpha}: R2={r['r2']:.6f}, active={len(r['active_terms'])}/{len(out['term_names'])}")
+        for n, c in r["active_terms"]:
+            print(f"  {c:+.6e} * {n}")
+    return 0

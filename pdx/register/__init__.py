@@ -12,10 +12,27 @@ from pdx.register.phasecorr import (
     stabilize_translation_sequence,
     estimate_interframe_shifts,
 )
+from pdx.register.farneback import (
+    farneback_flow,
+    farneback_register_sequence,
+    farneback_flow_pairs,
+)
+from pdx.register.dis import dis_flow
+from pdx.register.ecc import ecc_align, ecc_warp, ecc_register_sequence
+from pdx.register.quality import mean_flow_magnitude, registration_improvement
 
 __all__ = [
     "phase_correlate",
     "estimate_shift_phasecorr",
     "stabilize_translation_sequence",
     "estimate_interframe_shifts",
+    "farneback_flow",
+    "farneback_register_sequence",
+    "farneback_flow_pairs",
+    "dis_flow",
+    "ecc_align",
+    "ecc_warp",
+    "ecc_register_sequence",
+    "mean_flow_magnitude",
+    "registration_improvement",
 ]

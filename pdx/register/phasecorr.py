@@ -25,13 +25,23 @@ from pdx.ops.spectral import gaussian_smooth_periodic
 from pdx.ops.filters import gaussian_filter_reflect
 
 
-@partial(jax.jit, static_argnames=())
 def phase_correlate(ref: Array, mov: Array) -> tuple[Array, Array]:
     """Returns (dr, dc): the translation of ``mov`` relative to ``ref`` in
     (row, col) array coordinates — i.e. mov ~= ref shifted by (dr, dc).
 
     Equivalent to cv2.phaseCorrelate(ref, mov) returning (dx=dc, dy=dr).
+    Batches over leading axes (all frame pairs in one dispatch).
     """
+    if ref.ndim > 2:
+        batch = ref.shape[:-2]
+        f = jax.vmap(_phase_correlate_2d)
+        dr, dc = f(ref.reshape((-1,) + ref.shape[-2:]), mov.reshape((-1,) + mov.shape[-2:]))
+        return dr.reshape(batch), dc.reshape(batch)
+    return _phase_correlate_2d(ref, mov)
+
+
+@jax.jit
+def _phase_correlate_2d(ref: Array, mov: Array) -> tuple[Array, Array]:
     H, W = ref.shape[-2], ref.shape[-1]
     F1 = jnp.fft.fft2(ref)
     F2 = jnp.fft.fft2(mov)

@@ -1,0 +1,217 @@
+"""Real-image pipeline tests on synthetic TIFF stacks (no real data ships).
+
+The synthetic sequence is a diffusing anisotropic Gaussian blob with weak
+advection — smooth dynamics a PDE fit can actually capture — written as
+real .tif files so the host IO path is exercised end-to-end.
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from pdx.io_host.images import load_images, list_image_resolutions
+
+
+def make_synthetic_stack(T=24, N=220, D=2.0, vx=0.3, vy=-0.2, seed=0):
+    """Diffusion + drift evolution of a smooth random field (periodic FFT)."""
+    rng = np.random.default_rng(seed)
+    from scipy.ndimage import gaussian_filter
+
+    u0 = gaussian_filter(rng.normal(size=(N, N)), 8, mode="wrap")
+    u0 = (u0 - u0.min()) / (u0.max() - u0.min())
+    kx = 2 * np.pi * np.fft.fftfreq(N)
+    KX, KY = np.meshgrid(kx, kx, indexing="ij")
+    K2 = KX**2 + KY**2
+    F0 = np.fft.fft2(u0)
+    frames = []
+    for t in range(T):
+        phase = np.exp(-D * K2 * t - 1j * (KX * vx + KY * vy) * t)
+        frames.append(np.fft.ifft2(F0 * phase).real)
+    U = np.stack(frames)
+    U = (U - U.min()) / (U.max() - U.min())
+    return (U * 60000).astype(np.uint16)
+
+
+@pytest.fixture(scope="module")
+def tiff_dir(tmp_path_factory):
+    PIL = pytest.importorskip("PIL.Image")
+    d = tmp_path_factory.mktemp("synth_tiffs")
+    U = make_synthetic_stack()
+    for i, frame in enumerate(U):
+        PIL.fromarray(frame).save(d / f"frame_{i:03d}.tif")
+    return d
+
+
+class TestImageIO:
+    def test_load_images(self, tiff_dir):
+        U = load_images(tiff_dir, max_images=10)
+        assert U.shape == (10, 220, 220)
+        assert U.dtype == np.float32
+        assert U.max() > 1000  # uint16 range preserved
+
+    def test_resolution_audit(self, tiff_dir):
+        hist = list_image_resolutions(tiff_dir)
+        assert hist == {(220, 220): 24}
+
+    def test_missing_folder_raises(self, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            load_images(tmp_path / "nope")
+
+
+class TestAnalyzePipeline:
+    @pytest.fixture(scope="class")
+    def result(self, tiff_dir, tmp_path_factory):
+        from pdx.pipelines.analyze import AnalyzeConfig, run
+
+        out_dir = tmp_path_factory.mktemp("analyze_out")
+        cfg = AnalyzeConfig(
+            data_dir=str(tiff_dir),
+            output_dir=str(out_dir),
+            max_images=24,
+            registration=False,  # keep the smoke test fast; registration is
+            # covered by test_register.py and the dedicated test below
+            skip=10,
+            subsample=4,
+            rollout_steps=(1, 2, 3),
+        )
+        return cfg, run(cfg), out_dir
+
+    def test_all_models_fit(self, result):
+        _cfg, out, _dir = result
+        assert len(out["results"]) == 6
+        # smooth diffusive dynamics: the richest model should track u_t well
+        # (selection may prefer a lower-R2 model with stabler rollouts — that
+        # is the intended multi-objective behavior)
+        assert max(r["r2"] for r in out["results"]) > 0.5, [r["r2"] for r in out["results"]]
+
+    def test_artifact_contract(self, result):
+        _cfg, out, out_dir = result
+        best = json.loads((out_dir / "best_model.json").read_text())
+        for key in (
+            "name", "r2", "rmse", "nrmse", "corr", "one_step_rmse", "equation",
+            "terms", "coeffs", "spatial_holdout", "rollout_time_test",
+        ):
+            assert key in best, key
+        assert best["rollout_time_test"]["steps"] == [1, 2, 3]
+        comp = json.loads((out_dir / "models_comparison.json").read_text())
+        assert len(comp["models"]) == 6
+        assert comp["best_overall"]["name"] == out["best_overall"]["name"]
+        # display names use the reference's strings
+        assert "lap(u)" in comp["models"][0]["terms"]
+
+    def test_models_1_and_2_identical_quirk(self, result):
+        _cfg, out, _dir = result
+        r1, r2 = out["results"][0], out["results"][1]
+        np.testing.assert_allclose(r1["coeffs"], r2["coeffs"], rtol=1e-10)
+
+    def test_spatial_holdout_structure(self, result):
+        _cfg, out, _dir = result
+        sh = out["spatial_holdout"]
+        assert sh["space_split"] == "left_right"
+        assert "one_step_rmse" in sh["test"]
+
+    def test_with_registration_smoke(self, tiff_dir, tmp_path):
+        from pdx.pipelines.analyze import AnalyzeConfig, run
+
+        cfg = AnalyzeConfig(
+            data_dir=str(tiff_dir),
+            output_dir=str(tmp_path),
+            max_images=6,
+            registration=True,
+            skip=10,
+            subsample=4,
+            rollout_steps=(1,),
+        )
+        out = run(cfg)
+        assert np.isfinite(out["best_overall"]["r2"])
+
+
+class TestPatchDiscovery:
+    def test_pipeline_and_artifacts(self, tiff_dir, tmp_path):
+        from pdx.pipelines.patch_discovery import PatchDiscoveryConfig, run
+
+        cfg = PatchDiscoveryConfig(
+            data_dir=str(tiff_dir),
+            output_dir=str(tmp_path),
+            max_images=24,
+            registration=False,
+            skip=10,
+            subsample=4,
+            patch=11,
+            overlap=5,
+            samples_per_patch=60,
+            rt=1,
+            rs=2,
+            deg=2,
+        )
+        out = run(cfg)
+        assert out["n_patches"] >= 4
+        assert np.isfinite(out["global_test_metrics"]["r2"])
+        csv = (tmp_path / "PATCH_PDE_COEFFS.csv").read_text()
+        assert csv.startswith("term,median,q25,q75,nonzero_freq,sign_stability,agg_coeff")
+        assert "lap(u)" in csv
+        report = (tmp_path / "PATCH_PDE_REPORT.txt").read_text()
+        assert "Aggregated PDE:" in report
+
+    def test_localpoly_matches_reference_lstsq(self):
+        """Batched extraction operator == per-point lstsq (oracle parity)."""
+        from pdx.library.localpoly import local_poly_derivatives_batch, poly3d_exponents
+
+        rng = np.random.default_rng(3)
+        U = rng.normal(size=(9, 20, 22))
+        rt, rs, deg = 2, 3, 3
+        dt, dx, dy = 1.0, 0.1, 0.1
+        pts = np.array([[3, 5, 7], [4, 10, 12], [6, 8, 15]])
+        got = np.asarray(
+            local_poly_derivatives_batch(jnp.asarray(U), pts, rt=rt, rs=rs, deg=deg, dt=dt, dx=dx, dy=dy)
+        )
+        # oracle: reference per-point lstsq
+        exps = poly3d_exponents(deg)
+        for row, (t0, y0, x0) in zip(got, pts):
+            t_idx = np.arange(t0 - rt, t0 + rt + 1)
+            y_idx = np.arange(y0 - rs, y0 + rs + 1)
+            x_idx = np.arange(x0 - rs, x0 + rs + 1)
+            tt = (t_idx - t0) * dt
+            yy = (y_idx - y0) * dy
+            xx = (x_idx - x0) * dx
+            Tt, Yy, Xx = np.meshgrid(tt, yy, xx, indexing="ij")
+            vals = U[np.ix_(t_idx, y_idx, x_idx)]
+            A = np.column_stack(
+                [(Tt.ravel() ** a) * (Xx.ravel() ** b) * (Yy.ravel() ** c) for a, b, c in exps]
+            )
+            coef, *_ = np.linalg.lstsq(A, vals.ravel(), rcond=None)
+
+            def g(a, b, c):
+                return coef[exps.index((a, b, c))]
+
+            want = [g(0, 0, 0), g(1, 0, 0), g(0, 1, 0), g(0, 0, 1), 2 * g(0, 2, 0), 2 * g(0, 0, 2)]
+            np.testing.assert_allclose(row, want, rtol=1e-7, atol=1e-9)
+
+
+class TestTransport:
+    def test_pipeline_runs(self, tiff_dir, tmp_path):
+        from pdx.pipelines.transport import TransportConfig, run, mass_conservation_drift
+
+        cfg = TransportConfig(
+            data_dir=str(tiff_dir),
+            output_dir=str(tmp_path),
+            max_images=8,
+            downsample=4,
+            flow_levels=2,
+        )
+        out = run(cfg)
+        assert out["mean_flow_speed"] >= 0
+        assert set(out["results"].keys()) == {0.001, 0.01, 0.1}
+        for r in out["results"].values():
+            assert np.isfinite(r["r2"])
+        res = json.loads((tmp_path / "transport_results.json").read_text())
+        assert res["term_names"][0] == "constant"
+
+    def test_mass_conservation_metric(self):
+        from pdx.pipelines.transport import mass_conservation_drift
+
+        U = np.ones((5, 4, 4))
+        assert mass_conservation_drift(U) < 1e-9

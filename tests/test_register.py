@@ -1,0 +1,179 @@
+"""Registration stack tests: phase correlation, Farnebäck, DIS, ECC — on
+synthetic fields with known ground-truth motion, cross-checked vs cv2."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from scipy.ndimage import gaussian_filter, shift as ndshift
+
+from pdx.register import (
+    phase_correlate,
+    estimate_shift_phasecorr,
+    stabilize_translation_sequence,
+    estimate_interframe_shifts,
+    farneback_flow,
+    farneback_register_sequence,
+    dis_flow,
+    ecc_align,
+    ecc_warp,
+    registration_improvement,
+)
+from pdx.ops.interp import shift_periodic
+
+
+def smooth_field(n=96, sigma=5, seed=0):
+    rng = np.random.default_rng(seed)
+    f = gaussian_filter(rng.normal(size=(n, n)), sigma, mode="wrap")
+    return (f - f.min()) / (f.max() - f.min())
+
+
+class TestPhaseCorr:
+    def test_integer_shift_periodic(self):
+        base = smooth_field()
+        mov = np.roll(np.roll(base, 3, 0), -2, 1)
+        dr, dc = phase_correlate(jnp.asarray(base), jnp.asarray(mov))
+        assert abs(float(dr) - 3) < 0.05
+        assert abs(float(dc) + 2) < 0.05
+
+    def test_subpixel_shift(self):
+        """Subpixel accuracy on a very smooth field is ~0.3 px for the
+        weighted-centroid refinement (cv2.phaseCorrelate shows 0.24 px error
+        on this exact case — broad correlation peak, inherent)."""
+        base = smooth_field(seed=1)
+        mov = np.asarray(shift_periodic(jnp.asarray(base), 1.4, -0.6))
+        dr, dc = phase_correlate(jnp.asarray(base), jnp.asarray(mov))
+        assert abs(float(dr) - 1.4) < 0.45
+        assert abs(float(dc) + 0.6) < 0.45
+
+    def test_matches_cv2_sign_convention(self):
+        cv2 = pytest.importorskip("cv2")
+        base = smooth_field(seed=2).astype(np.float32)
+        mov = np.asarray(shift_periodic(jnp.asarray(base, jnp.float64), 2.0, 1.0)).astype(np.float32)
+        (cx, cy), _resp = cv2.phaseCorrelate(base, mov)
+        dr, dc = phase_correlate(jnp.asarray(base, jnp.float64), jnp.asarray(mov, jnp.float64))
+        # cv2 returns (dx=col, dy=row)
+        assert abs(float(dr) - cy) < 0.1
+        assert abs(float(dc) - cx) < 0.1
+
+    def test_estimate_shift_aligns(self):
+        base = smooth_field(seed=3)
+        mov = np.asarray(shift_periodic(jnp.asarray(base), 2.5, -1.5))
+        sx, sy = estimate_shift_phasecorr(jnp.asarray(base), jnp.asarray(mov))
+        aligned = np.asarray(shift_periodic(jnp.asarray(mov), sx, sy))
+        # residual ~0.3 px of subpixel error remains on very smooth fields
+        assert np.sqrt(np.mean((aligned - base) ** 2)) < 0.15 * np.sqrt(np.mean((np.asarray(mov) - base) ** 2))
+
+    def test_stabilize_sequence_jitter(self):
+        base = smooth_field(seed=4)
+        rng = np.random.default_rng(0)
+        T = 6
+        U = [base]
+        for _ in range(T - 1):
+            s = rng.uniform(-2, 2, 2)
+            U.append(np.asarray(shift_periodic(jnp.asarray(base), s[0], s[1])))
+        U = jnp.asarray(np.stack(U))
+        for mode in ("to_first", "to_prev"):
+            out = stabilize_translation_sequence(U, mode=mode)
+            resid = np.sqrt(np.mean((np.asarray(out) - base[None]) ** 2, axis=(1, 2)))
+            resid_before = np.sqrt(np.mean((np.asarray(U) - base[None]) ** 2))
+            assert resid.max() < 0.35 * resid_before, (mode, resid, resid_before)
+
+    def test_interframe_shifts_batched(self):
+        base = smooth_field(seed=5)
+        shifts = [(0.0, 0.0), (1.0, -0.5), (2.0, 0.5)]
+        U = jnp.asarray(np.stack([np.asarray(shift_periodic(jnp.asarray(base), s[0], s[1])) for s in shifts]))
+        sx, sy = estimate_interframe_shifts(U)
+        # shift to apply to frame t+1 to align to t = -(step shift);
+        # ~0.25 px subpixel error on smooth fields (same as cv2)
+        np.testing.assert_allclose(np.asarray(sx), [-1.0, -1.0], atol=0.3)
+        np.testing.assert_allclose(np.asarray(sy), [0.5, -1.0], atol=0.3)
+
+
+class TestFarneback:
+    def test_translation_direction_and_magnitude(self):
+        base = smooth_field(n=120, sigma=6, seed=6)
+        s = (2.0, -1.2)
+        mov = ndshift(base, s, mode="reflect")
+        fr, fc = farneback_flow(jnp.asarray(base), jnp.asarray(mov))
+        m = slice(30, -30)
+        est = (float(np.median(np.asarray(fr)[m, m])), float(np.median(np.asarray(fc)[m, m])))
+        # Farnebäck systematically underestimates large shifts (cv2 shows the
+        # same fixed-point bias); require direction + >=70% magnitude
+        assert est[0] / s[0] > 0.7 and est[0] / s[0] < 1.2
+        assert est[1] / s[1] > 0.7 and est[1] / s[1] < 1.2
+
+    def test_register_sequence_reduces_motion(self):
+        base = smooth_field(n=96, sigma=6, seed=7)
+        rng = np.random.default_rng(1)
+        U = [base]
+        for t in range(4):
+            s = rng.uniform(-1.5, 1.5, 2)
+            U.append(ndshift(base, s, mode="reflect"))
+        U = jnp.asarray(np.stack(U))
+        out = farneback_register_sequence(U)
+        resid_before = np.sqrt(np.mean((np.asarray(U[1:]) - base[None]) ** 2))
+        resid_after = np.sqrt(np.mean((np.asarray(out[1:]) - base[None]) ** 2))
+        # Farnebäck's ~0.8x magnitude bias caps single-pass improvement
+        assert resid_after < 0.75 * resid_before
+
+    def test_reference_compat_sign_worsens(self):
+        """warp_sign=-1 reproduces the reference's x - flow map, which
+        measurably increases residuals (the documented reference bug)."""
+        base = smooth_field(n=96, sigma=6, seed=8)
+        mov = ndshift(base, (1.5, 1.0), mode="reflect")
+        U = jnp.asarray(np.stack([base, mov]))
+        out_fix = farneback_register_sequence(U, warp_sign=1.0)
+        out_ref = farneback_register_sequence(U, warp_sign=-1.0)
+        r_fix = np.sqrt(np.mean((np.asarray(out_fix[1]) - base) ** 2))
+        r_ref = np.sqrt(np.mean((np.asarray(out_ref[1]) - base) ** 2))
+        assert r_fix < r_ref
+
+
+class TestDIS:
+    def test_translation(self):
+        base = smooth_field(n=96, sigma=5, seed=9)
+        s = (1.5, -1.0)
+        mov = ndshift(base, s, mode="reflect")
+        fr, fc = dis_flow(jnp.asarray(base), jnp.asarray(mov))
+        m = slice(24, -24)
+        est = (float(np.median(np.asarray(fr)[m, m])), float(np.median(np.asarray(fc)[m, m])))
+        assert abs(est[0] - s[0]) < 0.5
+        assert abs(est[1] - s[1]) < 0.5
+
+
+class TestECC:
+    def test_translation_recovery(self):
+        base = smooth_field(n=64, sigma=4, seed=10)
+        mov = ndshift(base, (1.2, -0.8), mode="reflect")
+        params, cc = ecc_align(jnp.asarray(base), jnp.asarray(mov), motion="translation")
+        # template(x) ~ image(x + t): ecc_warp samples image at x + t; the
+        # content moved by s so t should be ~ +s
+        np.testing.assert_allclose(np.asarray(params), [1.2, -0.8], atol=0.2)
+        aligned = ecc_warp(jnp.asarray(mov), params, motion="translation")
+        assert np.sqrt(np.mean((np.asarray(aligned)[8:-8, 8:-8] - base[8:-8, 8:-8]) ** 2)) < 0.01
+
+    def test_euclidean_rotation_recovery(self):
+        cv2 = pytest.importorskip("cv2")
+        base = smooth_field(n=80, sigma=4, seed=11).astype(np.float32)
+        theta = 0.05
+        M = cv2.getRotationMatrix2D((40, 40), -np.degrees(theta), 1.0)
+        mov = cv2.warpAffine(base, M, (80, 80), flags=cv2.INTER_LINEAR, borderMode=cv2.BORDER_REFLECT_101)
+        params, cc = ecc_align(jnp.asarray(base, jnp.float64), jnp.asarray(mov, jnp.float64), motion="euclidean")
+        assert float(cc) > 0.95
+        aligned = ecc_warp(jnp.asarray(mov, jnp.float64), params)
+        m = slice(12, -12)
+        before = np.sqrt(np.mean((mov[m, m] - base[m, m]) ** 2))
+        after = np.sqrt(np.mean((np.asarray(aligned)[m, m] - base[m, m]) ** 2))
+        assert after < 0.4 * before
+
+
+class TestQuality:
+    def test_improvement_metric(self):
+        base = smooth_field(n=96, sigma=6, seed=12)
+        rng = np.random.default_rng(2)
+        U = [base] + [ndshift(base, rng.uniform(-1.5, 1.5, 2), mode="reflect") for _ in range(3)]
+        U = jnp.asarray(np.stack(U))
+        out = farneback_register_sequence(U)
+        res = registration_improvement(U, out)
+        assert float(res["improvement_pct"]) > 20.0
