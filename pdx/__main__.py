@@ -118,6 +118,24 @@ def main(argv: list[str] | None = None) -> int:
         COMMANDS["comprehensive"] = cmd_comprehensive
     except ImportError:
         pass
+    try:
+        from pdx.pipelines.improved_registration import cmd_improved_registration  # noqa: F401
+
+        COMMANDS["improved-registration"] = cmd_improved_registration
+    except ImportError:
+        pass
+    try:
+        from pdx.pipelines.patch_sindy import cmd_patch_sindy  # noqa: F401
+
+        COMMANDS["patch-sindy"] = cmd_patch_sindy
+    except ImportError:
+        pass
+    try:
+        from pdx.pipelines.sindy1d import cmd_sindy1d  # noqa: F401
+
+        COMMANDS["sindy1d"] = cmd_sindy1d
+    except ImportError:
+        pass
 
     if not argv or argv[0] in ("-h", "--help"):
         print(__doc__)

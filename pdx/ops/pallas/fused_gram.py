@@ -1,0 +1,155 @@
+"""Fused KS dictionary + Gram accumulation kernel.
+
+The pointwise KS pipeline's memory traffic is dominated by materializing the
+term stack Theta = [lap, bih, |grad u|^2, ...] for every frame ((p+2) full
+trajectory copies through HBM) before one big GEMM. This kernel streams
+frame-blocks through VMEM once: for each block it computes the periodic
+stencil terms on-chip, flattens them, and accumulates
+
+    G += Theta_blk^T Theta_blk      (p x p, MXU)
+    b += Theta_blk^T ut_blk
+    sx += column sums, n, syy, sy
+
+so the only HBM traffic is reading U (and Ut) once and writing O(p^2) bytes.
+
+Grid: one program per frame-block; TPU grid execution is sequential, so the
+accumulator outputs are revisited with `+=` across steps (guarded init at
+step 0). Layout: frames are flattened to rows of a (bt, H*W) tile — W=100
+grids pad the lane dimension to 128 inside the block.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+try:  # pallas import is TPU/CPU-interpret capable; guard for safety
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    HAS_PALLAS = False
+
+
+def _ks_terms_2d(u: Array, dx: float, dy: float) -> tuple[Array, Array, Array]:
+    """lap, bih, |grad u|^2 with periodic rolls on the trailing two axes."""
+    lap = (
+        (jnp.roll(u, -1, -2) - 2 * u + jnp.roll(u, 1, -2)) / (dx * dx)
+        + (jnp.roll(u, -1, -1) - 2 * u + jnp.roll(u, 1, -1)) / (dy * dy)
+    )
+    bih = (
+        (jnp.roll(lap, -1, -2) - 2 * lap + jnp.roll(lap, 1, -2)) / (dx * dx)
+        + (jnp.roll(lap, -1, -1) - 2 * lap + jnp.roll(lap, 1, -1)) / (dy * dy)
+    )
+    gx = (jnp.roll(u, -1, -2) - jnp.roll(u, 1, -2)) / (2 * dx)
+    gy = (jnp.roll(u, -1, -1) - jnp.roll(u, 1, -1)) / (2 * dy)
+    return lap, bih, gx * gx + gy * gy
+
+
+def fused_ks_gram_reference(U: Array, Ut: Array, dx: float, dy: float) -> dict[str, Array]:
+    """XLA-composed reference: full term materialization + GEMM (the thing
+    the kernel avoids). Returns the gram_stats dict for [lap, bih, gradsq]."""
+    lap, bih, gsq = _ks_terms_2d(U, dx, dy)
+    T = U.shape[0]
+    X = jnp.stack([lap.reshape(T, -1), bih.reshape(T, -1), gsq.reshape(T, -1)], axis=-1)
+    X = X.reshape(-1, 3)
+    y = Ut.reshape(-1)
+    return {
+        "G": X.T @ X,
+        "b": X.T @ y,
+        "sx": jnp.sum(X, axis=0),
+        "n": jnp.asarray(X.shape[0], X.dtype),
+        "syy": jnp.sum(y * y),
+        "sy": jnp.sum(y),
+    }
+
+
+def _kernel(u_ref, ut_ref, *out_refs, dx: float, dy: float):
+    """Accumulate the 14 scalar sufficient statistics.
+
+    Output order: G00 G01 G02 G11 G12 G22 b0 b1 b2 sx0 sx1 sx2 sy syy —
+    each a (1, 1) accumulator. Mosaic cannot reshape the (bt, H, W) fields
+    into a flat design matrix, so the Gram entries are computed directly as
+    elementwise-product reductions on the VPU (p=3: there is no MXU win to
+    be had; the kernel's value is one-pass HBM streaming).
+    """
+    step = pl.program_id(0)
+    u = u_ref[...]
+    ut = ut_ref[...]
+    lap, bih, gsq = _ks_terms_2d(u, dx, dy)
+
+    vals = (
+        jnp.sum(lap * lap), jnp.sum(lap * bih), jnp.sum(lap * gsq),
+        jnp.sum(bih * bih), jnp.sum(bih * gsq), jnp.sum(gsq * gsq),
+        jnp.sum(lap * ut), jnp.sum(bih * ut), jnp.sum(gsq * ut),
+        jnp.sum(lap), jnp.sum(bih), jnp.sum(gsq),
+        jnp.sum(ut), jnp.sum(ut * ut),
+    )
+
+    @pl.when(step == 0)
+    def _():
+        for ref in out_refs:
+            ref[...] = jnp.zeros_like(ref)
+
+    for ref, v in zip(out_refs, vals):
+        ref[...] += v.reshape(1, 1)
+
+
+@partial(jax.jit, static_argnames=("dx", "dy", "block_t", "interpret"))
+def fused_ks_gram(
+    U: Array,
+    Ut: Array,
+    *,
+    dx: float,
+    dy: float,
+    block_t: int = 8,
+    interpret: bool = False,
+) -> dict[str, Array]:
+    """Streaming dictionary+Gram for the true KS library [lap, bih, gradsq].
+
+    U and Ut are (T, H, W) aligned frame stacks (T divisible by block_t; pad
+    callers slice accordingly). float32 compute.
+    """
+    if not HAS_PALLAS:
+        return fused_ks_gram_reference(U, Ut, dx, dy)
+    T, H, W = U.shape
+    if T % block_t != 0:
+        # fall back: non-divisible tails are rare (callers control T)
+        return fused_ks_gram_reference(U, Ut, dx, dy)
+    n_blocks = T // block_t
+    dtype = jnp.float32
+    U = U.astype(dtype)
+    Ut = Ut.astype(dtype)
+
+    kernel = partial(_kernel, dx=dx, dy=dy)
+    n_out = 14
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((block_t, H, W), lambda i: (i, 0, 0)),
+            pl.BlockSpec((block_t, H, W), lambda i: (i, 0, 0)),
+        ],
+        out_specs=tuple(pl.BlockSpec((1, 1), lambda i: (0, 0)) for _ in range(n_out)),
+        out_shape=tuple(jax.ShapeDtypeStruct((1, 1), dtype) for _ in range(n_out)),
+        interpret=interpret,
+    )(U, Ut)
+    (g00, g01, g02, g11, g12, g22, b0, b1, b2, s0, s1, s2, sy, syy) = [o[0, 0] for o in outs]
+
+    G = jnp.stack(
+        [jnp.stack([g00, g01, g02]), jnp.stack([g01, g11, g12]), jnp.stack([g02, g12, g22])]
+    )
+    n = jnp.asarray(T * H * W, dtype)
+    return {
+        "G": G,
+        "b": jnp.stack([b0, b1, b2]),
+        "sx": jnp.stack([s0, s1, s2]),
+        "n": n,
+        "syy": syy,
+        "sy": sy,
+    }

@@ -1,0 +1,455 @@
+"""Comprehensive benchmark: 21 discovery methods x 8 corruption regimes.
+
+End-to-end parity with ``scripts/comprehensive_benchmark.py``: KS-2D on a
+64x64 grid (dt=1e-4, save_every=50, clip guard, deterministic sin/cos IC) ->
+corruption suite N1-N7 -> methods M01-M21 (preprocessor bank, robust
+regressors, Fourier derivatives, convolutional weak form, frame-bootstrap
+ensemble, DMD preconditioners, detrending) -> per-(noise, method) relative
+coefficient error, rankings, JSON dump.
+
+Reference quirks preserved: the FD biharmonic uses dx for both axes
+(comprehensive_benchmark.py:344-350, valid since dx == dy); the weak-form
+method draws subsample indices but fits on the full library (:449-453) — the
+draw is still consumed to keep the RNG stream aligned. Reference bug fixed:
+the hardcoded absolute output path (:661) is a config field.
+
+Method deviations (documented): M07 uses Huber-IRLS with MAD scale rather
+than sklearn's concomitant-scale L-BFGS HuberRegressor; M08 implements
+textbook RANSAC (100 trials, MAD threshold) rather than sklearn's; both are
+the same estimator families and are validated by ranking behavior, not
+bit-parity.
+
+TPU-native structure: each method's per-frame loops become batched stencil /
+FFT / convolution passes; the Ridge fits are Gram solves; DMD runs its GEMMs
+on device with the tiny complex eig on host; the (method, regime) matrix is
+embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Any, Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pdx.io_host.artifacts import write_json
+from pdx.ops.linalg import gram_stats, standardized_stats, masked_ridge_solve
+from pdx.preprocess import (
+    preprocess_gaussian,
+    preprocess_median,
+    preprocess_tv,
+    preprocess_bilateral,
+    preprocess_temporal,
+    preprocess_detrend,
+    preprocess_detrend_global,
+)
+from pdx.solve.dmd import standard_dmd, multiscale_dmd, sparse_dmd
+
+TRUE_COEF = np.array([-1.0, -1.0, -0.5])
+
+
+@dataclass(frozen=True)
+class ComprehensiveConfig:
+    output_dir: str = "outputs/latest/benchmark"
+    Lx: float = 100.0
+    Ly: float = 100.0
+    Nx: int = 64
+    Ny: int = 64
+    dt: float = 1e-4
+    n_seconds: float = 1.0
+    save_every: int = 50
+    n_subsample: int = 20_000
+    methods: tuple[str, ...] = ()  # empty = all
+    noises: tuple[str, ...] = ()  # empty = all
+    seed: int = 42
+    dtype: str = "float64"
+    write_artifacts: bool = True
+
+
+# ---------------------------------------------------------------------------
+# data generation (comprehensive_benchmark.py:79-113)
+# ---------------------------------------------------------------------------
+
+
+def simulate_clean(cfg: ComprehensiveConfig) -> jnp.ndarray:
+    from pdx.utils.precision import resolve_dtype
+
+    dtype = resolve_dtype(cfg.dtype)
+    dx = cfg.Lx / cfg.Nx
+    x = np.linspace(0, cfg.Lx, cfg.Nx, endpoint=False)
+    y = np.linspace(0, cfg.Ly, cfg.Ny, endpoint=False)
+    X, Y = np.meshgrid(x, y)  # reference uses default 'xy' indexing
+    u0 = 0.1 * (
+        np.sin(2 * np.pi * X / cfg.Lx) * np.cos(2 * np.pi * Y / cfg.Ly)
+        + 0.5 * np.sin(4 * np.pi * X / cfg.Lx) * np.sin(4 * np.pi * Y / cfg.Ly)
+    )
+    total_steps = int(cfg.n_seconds / cfg.dt)
+    n_frames = total_steps // cfg.save_every
+
+    def lap(f):
+        return (
+            jnp.roll(f, -1, 0) + jnp.roll(f, 1, 0) + jnp.roll(f, -1, 1) + jnp.roll(f, 1, 1) - 4 * f
+        ) / (dx**2)
+
+    def rhs(u):
+        l = lap(u)
+        gx = (jnp.roll(u, -1, 0) - jnp.roll(u, 1, 0)) / (2 * dx)
+        gy = (jnp.roll(u, -1, 1) - jnp.roll(u, 1, 1)) / (2 * dx)
+        return -l - lap(l) - 0.5 * (gx**2 + gy**2)
+
+    se = cfg.save_every
+
+    def step_fn(v, _):
+        return jnp.clip(v + cfg.dt * rhs(v), -10, 10), None
+
+    def outer(u, _):
+        # reference saves AFTER the update whenever step % save_every == 0,
+        # i.e. the saved frame is the state after (k*save_every + 1) updates
+        u, _ = step_fn(u, None)
+        saved = u
+        u, _ = jax.lax.scan(step_fn, u, None, length=se - 1)
+        return u, saved
+
+    _, U = jax.lax.scan(outer, jnp.asarray(u0, dtype=dtype), None, length=n_frames)
+    return U
+
+
+def corruption_suite(U_clean: np.ndarray) -> dict[str, np.ndarray]:
+    """Host-side scipy corruption suite — exact parity with
+    comprehensive_benchmark.py:120-157 (scipy spline shifts, per-call seeds)."""
+    from scipy.ndimage import shift as ndshift, gaussian_filter
+
+    def add_shifts(data, max_shift=1.5):
+        result = np.zeros_like(data)
+        np.random.seed(123)
+        for i in range(len(data)):
+            s = np.random.uniform(-max_shift, max_shift, 2) if i > 0 else [0, 0]
+            result[i] = ndshift(data[i], s, mode="wrap")
+        return result
+
+    def add_noise(data, std=0.02):
+        np.random.seed(456)
+        return data + std * np.std(data) * np.random.randn(*data.shape)
+
+    def add_blur(data, sigma=1.5):
+        return np.stack([gaussian_filter(f, sigma=sigma) for f in data])
+
+    def add_drift(data, decay_rate=0.02):
+        t = np.arange(len(data))
+        return data * np.exp(-decay_rate * t)[:, None, None]
+
+    return {
+        "N1_shifts": add_shifts(U_clean, 1.5),
+        "N2_noise": add_noise(U_clean, 0.03),
+        "N3_blur": add_blur(U_clean, 1.5),
+        "N4_drift": add_drift(U_clean, 0.02),
+        "N5_shifts_noise": add_noise(add_shifts(U_clean, 1.5), 0.02),
+        "N6_blur_noise": add_noise(add_blur(U_clean, 1.0), 0.02),
+        "N7_all": add_noise(add_blur(add_drift(add_shifts(U_clean, 1.0), 0.015), 1.0), 0.02),
+    }
+
+
+# ---------------------------------------------------------------------------
+# discovery core (comprehensive_benchmark.py:327-471)
+# ---------------------------------------------------------------------------
+
+
+def _derivative_fields(U: jnp.ndarray, dx: float, use_fourier: bool):
+    """(ux, uy, lap, biharm) for the frame stack; square grid (dx == dy)."""
+    if use_fourier:
+        n = U.shape[-1]
+        k = 2 * np.pi * np.fft.fftfreq(n, dx)
+        KX, KY = jnp.meshgrid(jnp.asarray(k), jnp.asarray(k), indexing="ij")
+        k2 = KX**2 + KY**2
+        F = jnp.fft.fft2(U)
+        ux = jnp.fft.ifft2(1j * KX * F).real
+        uy = jnp.fft.ifft2(1j * KY * F).real
+        lap = jnp.fft.ifft2(-k2 * F).real
+        biharm = jnp.fft.ifft2(k2**2 * F).real
+    else:
+        ux = (jnp.roll(U, -1, -2) - jnp.roll(U, 1, -2)) / (2 * dx)
+        uy = (jnp.roll(U, -1, -1) - jnp.roll(U, 1, -1)) / (2 * dx)
+
+        def lap_op(f):
+            return (
+                jnp.roll(f, -1, -2) + jnp.roll(f, 1, -2) + jnp.roll(f, -1, -1) + jnp.roll(f, 1, -1) - 4 * f
+            ) / (dx**2)
+
+        lap = lap_op(U)
+        biharm = lap_op(lap)
+    return ux, uy, lap, biharm
+
+
+def _build_lib_tgt(U: jnp.ndarray, dx: float, dt_frame: float, use_fourier: bool, margin: int):
+    """Stacked [lap, biharm, |grad u|^2] library + forward-difference target
+    over the interior margin crop — one batched pass for all frames."""
+    Uk = U[:-1]
+    dudt = (U[1:] - Uk) / dt_frame
+    ux, uy, lap, biharm = _derivative_fields(Uk, dx, use_fourier)
+    grad_sq = ux**2 + uy**2
+    m = margin
+    sel = (slice(None), slice(m, -m), slice(m, -m))
+    lib = jnp.stack(
+        [lap[sel].reshape(-1), biharm[sel].reshape(-1), grad_sq[sel].reshape(-1)], axis=1
+    )
+    return lib, dudt[sel].reshape(-1)
+
+
+def _centered_ridge(X: jnp.ndarray, y: jnp.ndarray, alpha: float) -> jnp.ndarray:
+    """sklearn Ridge(fit_intercept=True).coef_ equivalence: center X and y."""
+    stats = gram_stats(X, y)
+    Gs, bs, _mean, scale = standardized_stats(stats)
+    # we need centered-but-unscaled: G_c = Gs * (scale scale^T), b_c = bs*scale
+    Gc = Gs * (scale[:, None] * scale[None, :])
+    bc = bs * scale
+    p = X.shape[1]
+    mask = jnp.ones((p,), dtype=X.dtype)
+    return masked_ridge_solve(Gc, bc, mask, alpha)
+
+
+def _ransac_fit(X: np.ndarray, y: np.ndarray, rng: np.random.Generator, max_trials: int = 100) -> np.ndarray:
+    """Textbook RANSAC with LinearRegression base (deviation from sklearn
+    documented in the module docstring)."""
+    n, p = X.shape
+    min_samples = p + 1
+    resid_thr = np.median(np.abs(y - np.median(y)))
+    best_mask = None
+    best_count = -1
+    Xh = np.column_stack([X, np.ones(n)])
+    for _ in range(max_trials):
+        idx = rng.choice(n, size=min_samples, replace=False)
+        coef, *_ = np.linalg.lstsq(Xh[idx], y[idx], rcond=None)
+        resid = np.abs(y - Xh @ coef)
+        inliers = resid < resid_thr
+        c = int(inliers.sum())
+        if c > best_count:
+            best_count = c
+            best_mask = inliers
+    coef, *_ = np.linalg.lstsq(Xh[best_mask], y[best_mask], rcond=None)
+    return coef[:p]
+
+
+def sindy_discover(
+    U: jnp.ndarray,
+    dx: float,
+    dt_frame: float,
+    *,
+    use_fourier: bool = True,
+    regressor: str = "ridge",
+    margin: int = 3,
+    n_subsample: int = 20_000,
+) -> np.ndarray:
+    """Parity: sindy_discover (comprehensive_benchmark.py:352-403).
+
+    Subsample indices come from the module-level legacy np.random stream in
+    the reference's draw order.
+    """
+    lib, tgt = _build_lib_tgt(U, dx, dt_frame, use_fourier, margin)
+    scales = jnp.std(lib, axis=0)
+    scales = jnp.where(scales < 1e-10, 1.0, scales)
+    lib_norm = lib / scales
+
+    n_total = int(tgt.shape[0])
+    n_samples = min(n_subsample, n_total)
+    idx = np.random.choice(n_total, n_samples, replace=False)  # legacy global stream
+    Xs = lib_norm[jnp.asarray(idx)]
+    ys = tgt[jnp.asarray(idx)]
+
+    if regressor == "huber":
+        from pdx.solve.robust import irls_huber
+
+        # center for intercept equivalence
+        xm = jnp.mean(Xs, axis=0)
+        ym = jnp.mean(ys)
+        coef = irls_huber(Xs - xm, ys - ym, alpha=1e-4, delta=1.35, max_iter=200)
+    elif regressor == "ransac":
+        coef = jnp.asarray(_ransac_fit(np.asarray(Xs), np.asarray(ys), np.random.default_rng(0)))
+    else:
+        coef = _centered_ridge(Xs, ys, 1e-4)
+    return np.asarray(coef / scales)
+
+
+def weak_form_sindy(
+    U: jnp.ndarray, dx: float, dt_frame: float, *, test_width: int = 5, margin: int = 5,
+    n_subsample: int = 20_000,
+) -> np.ndarray:
+    """Parity: weak_form_sindy (comprehensive_benchmark.py:409-454) incl. the
+    quirk that the subsample draw is consumed but the fit uses all rows."""
+    x = np.arange(-test_width, test_width + 1)
+    Xk, Yk = np.meshgrid(x, x)
+    sigma = test_width / 2
+    phi = np.exp(-(Xk**2 + Yk**2) / (2 * sigma**2))
+    phi /= phi.sum()
+    phi_j = jnp.asarray(phi, dtype=U.dtype)
+
+    Uk = U[:-1]
+    dudt = (U[1:] - Uk) / dt_frame
+    ux, uy, lap, biharm = _derivative_fields(Uk, dx, use_fourier=False)
+    grad_sq = ux**2 + uy**2
+
+    def conv_wrap(f):
+        k = 2 * test_width + 1
+        pad = [(0, 0)] * (f.ndim - 2) + [(test_width, test_width)] * 2
+        p = jnp.pad(f, pad, mode="wrap")
+        out = jnp.zeros_like(f)
+        H, W = f.shape[-2], f.shape[-1]
+        for i in range(k):
+            for j in range(k):
+                out = out + phi_j[i, j] * p[..., i : i + H, j : j + W]
+        return out
+
+    m = margin
+    sel = (slice(None), slice(m, -m), slice(m, -m))
+    lib = jnp.stack(
+        [conv_wrap(lap)[sel].reshape(-1), conv_wrap(biharm)[sel].reshape(-1), conv_wrap(grad_sq)[sel].reshape(-1)],
+        axis=1,
+    )
+    tgt = conv_wrap(dudt)[sel].reshape(-1)
+
+    scales = jnp.std(lib, axis=0)
+    scales = jnp.where(scales < 1e-10, 1.0, scales)
+    n_total = int(tgt.shape[0])
+    _ = np.random.choice(n_total, min(n_subsample, n_total), replace=False)  # consumed, unused (reference quirk)
+    coef = _centered_ridge(lib / scales, tgt, 1e-4)
+    return np.asarray(coef / scales)
+
+
+def ensemble_sindy(U: jnp.ndarray, dx: float, dt_frame: float, n_ensemble: int = 5) -> np.ndarray:
+    """Frame-bootstrap ensemble (comprehensive_benchmark.py:456-471)."""
+    coefs = []
+    n_frames = U.shape[0]
+    for _ in range(n_ensemble):
+        idx = np.random.choice(n_frames, n_frames, replace=True)
+        idx = np.sort(np.unique(idx))
+        if len(idx) < 3:
+            continue
+        coefs.append(sindy_discover(U[jnp.asarray(idx)], dx, dt_frame))
+    return np.median(np.stack(coefs), axis=0)
+
+
+def build_methods(cfg: ComprehensiveConfig, dx: float, dt_frame: float) -> dict[str, Callable]:
+    sd = lambda d, **kw: sindy_discover(d, dx, dt_frame, n_subsample=cfg.n_subsample, **kw)
+    return {
+        "M01_baseline": lambda d: sd(d),
+        "M02_gaussian": lambda d: sd(preprocess_gaussian(d)),
+        "M03_median": lambda d: sd(preprocess_median(d)),
+        "M04_tv": lambda d: sd(preprocess_tv(d)),
+        "M05_bilateral": lambda d: sd(preprocess_bilateral(d)),
+        "M06_temporal": lambda d: sd(preprocess_temporal(d)),
+        "M07_huber": lambda d: sd(d, regressor="huber"),
+        "M08_ransac": lambda d: sd(d, regressor="ransac"),
+        "M09_fourier": lambda d: sd(d, use_fourier=True),
+        "M10_weak_form": lambda d: weak_form_sindy(d, dx, dt_frame, n_subsample=cfg.n_subsample),
+        "M11_ensemble": lambda d: ensemble_sindy(d, dx, dt_frame),
+        "M12_dmd": lambda d: sd(standard_dmd(d, rank=30)),
+        "M13_dmd_opt": lambda d: sd(standard_dmd(d, rank=50)),
+        "M14_dmd_fourier": lambda d: sd(standard_dmd(d, rank=40), use_fourier=True),
+        "M15_sparse_dmd": lambda d: sd(sparse_dmd(d, rank=30)),
+        "M16_multiscale_dmd": lambda d: sd(multiscale_dmd(d)),
+        "M17_physics_dmd": lambda d: sd(multiscale_dmd(d, low_rank=8, high_rank=20), use_fourier=True),
+        "M18_detrend": lambda d: sd(preprocess_detrend(d)),
+        "M19_detrend_global": lambda d: sd(preprocess_detrend_global(d)),
+        "M20_detrend_dmd": lambda d: sd(standard_dmd(preprocess_detrend(d), rank=40)),
+        "M21_detrend_multiscale": lambda d: sd(multiscale_dmd(preprocess_detrend(d))),
+    }
+
+
+def compute_error(coef: np.ndarray, true: np.ndarray = TRUE_COEF) -> float:
+    return float(np.linalg.norm(coef - true) / np.linalg.norm(true) * 100.0)
+
+
+def run(cfg: ComprehensiveConfig) -> dict[str, Any]:
+    dx = cfg.Lx / cfg.Nx
+    dt_frame = cfg.dt * cfg.save_every
+
+    np.random.seed(cfg.seed)  # legacy global stream, reference draw order
+    U_clean = simulate_clean(cfg)
+    datasets: dict[str, jnp.ndarray] = {"N0_clean": U_clean}
+    for name, arr in corruption_suite(np.asarray(U_clean)).items():
+        datasets[name] = jnp.asarray(arr, dtype=U_clean.dtype)
+
+    methods = build_methods(cfg, dx, dt_frame)
+    if cfg.methods:
+        methods = {k: v for k, v in methods.items() if k in set(cfg.methods)}
+    if cfg.noises:
+        datasets = {k: v for k, v in datasets.items() if k in set(cfg.noises) or k == "N0_clean"}
+
+    results: dict[str, dict] = {}
+    for noise_name, data in datasets.items():
+        results[noise_name] = {}
+        for method_name, fn in methods.items():
+            try:
+                t0 = time.time()
+                coef = fn(data)
+                elapsed = time.time() - t0
+                err = compute_error(coef)
+                results[noise_name][method_name] = {
+                    "error": err,
+                    "coef": [float(c) for c in coef],
+                    "time": float(elapsed),
+                }
+            except Exception as e:  # a failing method scores inf, not a crash
+                results[noise_name][method_name] = {
+                    "error": float("inf"),
+                    "coef": [0, 0, 0],
+                    "time": 0.0,
+                    "error_msg": str(e),
+                }
+
+    method_avg = {}
+    for m in methods:
+        errs = [
+            results[n][m]["error"]
+            for n in results
+            if m in results[n] and np.isfinite(results[n][m]["error"])
+        ]
+        if errs:
+            method_avg[m] = float(np.mean(errs))
+    sorted_methods = sorted(method_avg.items(), key=lambda x: x[1])
+
+    output = {
+        "true_coef": TRUE_COEF.tolist(),
+        "noise_configs": list(datasets.keys()),
+        "methods": list(methods.keys()),
+        "results": results,
+        "rankings": dict(sorted_methods),
+        "best_overall": sorted_methods[0][0] if sorted_methods else None,
+        "best_per_noise": {
+            n: min(results[n].items(), key=lambda x: x[1]["error"])[0] for n in results
+        },
+    }
+    if cfg.write_artifacts:
+        write_json(Path(cfg.output_dir) / "benchmark_results.json", output)
+    return output
+
+
+def cmd_comprehensive(argv: list[str]) -> int:
+    import argparse
+
+    parser = argparse.ArgumentParser(prog="pdx comprehensive")
+    parser.add_argument("--output-dir", default="outputs/latest/benchmark")
+    parser.add_argument("--methods", default="", help="comma-separated subset (default all)")
+    parser.add_argument("--noises", default="", help="comma-separated subset (default all)")
+    parser.add_argument("--n-seconds", type=float, default=1.0)
+    args = parser.parse_args(argv)
+    cfg = ComprehensiveConfig(
+        output_dir=args.output_dir,
+        methods=tuple(m for m in args.methods.split(",") if m),
+        noises=tuple(n for n in args.noises.split(",") if n),
+        n_seconds=args.n_seconds,
+    )
+    out = run(cfg)
+    print(f"{'':20}", *[f"{n[:8]:>10}" for n in out["noise_configs"]])
+    for m in out["methods"]:
+        row = [f"{m:<20}"]
+        for n in out["noise_configs"]:
+            e = out["results"][n][m]["error"]
+            row.append(f"{e:>10.1f}" if np.isfinite(e) else f"{'FAIL':>10}")
+        print("".join(row))
+    print(f"\nBEST OVERALL: {out['best_overall']}")
+    return 0

@@ -1,0 +1,229 @@
+"""Patch-based SINDy with optional per-patch local registration.
+
+End-to-end parity with ``scripts/patch_based_sindy.py`` (class
+PatchBasedSINDy): pre-denoise (spatial Gaussian + temporal Savitzky-Golay) ->
+overlapping patch grid -> optional per-patch ECC / optical-flow registration
+-> per-patch 11-term library ridge fit (fit_intercept=False) over
+boundary-masked subsampled grid points -> quality = max(0, R^2) x
+registration quality -> quality-weighted ensemble aggregation with
+high-variance-term suppression.
+
+TPU-native: patches are extracted as one reshape/gather; the per-patch
+central-difference libraries and ridge solves are vmapped over the patch
+axis (the reference loops patches sequentially, ~minutes); ECC alignment is
+a bounded while_loop vmapped over patch sequences.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pdx.io_host.images import load_images
+from pdx.io_host.artifacts import write_json
+from pdx.ops.filters import gaussian_filter_reflect, savgol_time
+from pdx.ops.metrics import r2_score
+from pdx.ops.linalg import gram_stats, standardized_stats, masked_ridge_solve
+from pdx.register.ecc import ecc_register_sequence
+
+TERM_NAMES = ["1", "u", "u_x", "u_y", "u_xx", "u_yy", "∇²u", "u²", "u·u_x", "u·u_y", "u·∇²u"]
+
+
+@dataclass(frozen=True)
+class PatchSindyConfig:
+    data_dir: str = "data/Real-Images"
+    output_dir: str = "outputs/latest/patch_sindy"
+    max_images: int | None = None
+    dt: float = 1.0
+    dx: float = 0.1
+    dy: float = 0.1
+    patch_size: int = 256
+    overlap: int = 64
+    spatial_sigma: float = 0.3
+    temporal_window: int = 3
+    skip_boundary: int = 5
+    subsample: int = 4
+    alpha: float = 0.01
+    min_patches: int = 5
+    registration_method: str = "none"  # none | ecc
+    max_patches: int | None = None
+    var_suppress_factor: float = 2.0
+    dtype: str = "float64"
+    write_artifacts: bool = True
+
+
+def extract_patch_sequences(U: jnp.ndarray, patch_size: int, stride: int) -> tuple[jnp.ndarray, list[tuple[int, int]]]:
+    """(n_patches, T, ps, ps) patch sequences + top-left coords."""
+    T, H, W = U.shape
+    coords = [
+        (y, x)
+        for y in range(0, H - patch_size + 1, stride)
+        for x in range(0, W - patch_size + 1, stride)
+    ]
+    seqs = jnp.stack([U[:, y : y + patch_size, x : x + patch_size] for y, x in coords])
+    return seqs, coords
+
+
+def _patch_library(u: jnp.ndarray, dx: float, dy: float) -> jnp.ndarray:
+    """11-term library on a (ps, ps) frame with periodic central differences
+    (patch_based_sindy.py:229-268; note their 'x' is axis=1 = cols)."""
+    ux = (jnp.roll(u, -1, 1) - jnp.roll(u, 1, 1)) / (2 * dx)
+    uy = (jnp.roll(u, -1, 0) - jnp.roll(u, 1, 0)) / (2 * dy)
+    uxx = (jnp.roll(u, -1, 1) - 2 * u + jnp.roll(u, 1, 1)) / dx**2
+    uyy = (jnp.roll(u, -1, 0) - 2 * u + jnp.roll(u, 1, 0)) / dy**2
+    lap = uxx + uyy
+    return jnp.stack(
+        [jnp.ones_like(u), u, ux, uy, uxx, uyy, lap, u**2, u * ux, u * uy, u * lap], axis=-1
+    )
+
+
+def discover_patch(
+    seq: jnp.ndarray, cfg: PatchSindyConfig, reg_quality: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-patch central-difference dataset + ridge (fit_intercept=False)
+    standardized fit (patch_based_sindy.py:265-364). Returns (coeffs, quality)."""
+    T, ps, _ = seq.shape
+    sb, sub = cfg.skip_boundary, cfg.subsample
+    mask2 = np.zeros((ps, ps), dtype=bool)
+    mask2[sb:-sb:1, sb:-sb:1] = True
+    submask = np.zeros_like(mask2)
+    submask[::sub, ::sub] = True
+    mask2 &= submask
+    idx = np.where(mask2.reshape(-1))[0]
+
+    def frame_data(i):
+        u = seq[i]
+        ut = (seq[i + 1] - seq[i - 1]) / (2 * cfg.dt)
+        lib = _patch_library(u, cfg.dx, cfg.dy).reshape(-1, len(TERM_NAMES))[idx]
+        return lib, ut.reshape(-1)[idx]
+
+    libs, uts = [], []
+    for i in range(1, T - 1):
+        l, t = frame_data(i)
+        libs.append(l)
+        uts.append(t)
+    X = jnp.concatenate(libs, axis=0)
+    y = jnp.concatenate(uts, axis=0)
+
+    # sklearn: StandardScaler -> Ridge(fit_intercept=False) -> /scale_
+    stats = gram_stats(X, y)
+    Gs, bs, mean, scale = standardized_stats(stats)
+    # fit_intercept=False on *scaled* (not centered-target) data: sklearn's
+    # StandardScaler centers X columns; Ridge(int=False) then has no
+    # intercept; X_scaled^T y uses the raw y — identical to our bs
+    full = jnp.ones((X.shape[1],), dtype=X.dtype)
+    c_std = masked_ridge_solve(Gs, bs, full, cfg.alpha)
+    coeffs = c_std / scale
+    y_pred = X @ coeffs
+    r2 = r2_score(y, y_pred)
+    quality = jnp.maximum(0.0, r2) * reg_quality
+    return coeffs, quality
+
+
+def run(cfg: PatchSindyConfig, U_raw: np.ndarray | None = None) -> dict[str, Any]:
+    from pdx.utils.precision import resolve_dtype
+
+    dtype = resolve_dtype(cfg.dtype)
+    if U_raw is None:
+        U_raw = load_images(
+            cfg.data_dir, max_images=cfg.max_images or 10**9, mode="grayscale_u8"
+        )
+        U_raw = U_raw / 255.0
+    U = jnp.asarray(U_raw, dtype=dtype)
+
+    # pre-denoise (patch_based_sindy.py:88-119)
+    U = gaussian_filter_reflect(U, cfg.spatial_sigma)
+    if U.shape[0] >= cfg.temporal_window:
+        U = savgol_time(U, cfg.temporal_window, 2)
+
+    stride = cfg.patch_size - cfg.overlap
+    seqs, coords = extract_patch_sequences(U, cfg.patch_size, stride)
+    if cfg.max_patches is not None and seqs.shape[0] > cfg.max_patches:
+        import random
+
+        random.seed(0)
+        keep = sorted(random.sample(range(seqs.shape[0]), cfg.max_patches))
+        seqs = seqs[jnp.asarray(keep)]
+        coords = [coords[i] for i in keep]
+
+    P = seqs.shape[0]
+    if cfg.registration_method == "ecc":
+        def reg_one(seq):
+            out, ccs = ecc_register_sequence(seq, motion="euclidean", gauss_sigma=1.0)
+            return out, jnp.mean(ccs)
+
+        seqs, qualities = jax.vmap(reg_one)(seqs)
+    else:
+        qualities = jnp.ones((P,), dtype=dtype)
+
+    def one(seq, q):
+        return discover_patch(seq, cfg, q)
+
+    coeffs, qual = jax.vmap(lambda s, q: one(s, q))(seqs, qualities)
+    C = np.asarray(coeffs)
+    Q = np.maximum(np.asarray(qual), 0.0)
+
+    valid = Q > -0.5
+    C, Q = C[valid], Q[valid]
+    if C.shape[0] < cfg.min_patches:
+        raise RuntimeError(f"Too few valid patches ({C.shape[0]} < {cfg.min_patches})")
+
+    # quality-weighted aggregation + variance suppression (patch_based_sindy.py:450-467)
+    w = Q / (Q.sum() + 1e-12)
+    ens = np.average(C, axis=0, weights=w) if Q.sum() > 0 else C.mean(axis=0)
+    std = np.sqrt(np.average((C - ens) ** 2, axis=0, weights=w)) if Q.sum() > 0 else C.std(axis=0)
+    thr = np.median(std) * cfg.var_suppress_factor
+    ens = np.where(std > thr, 0.0, ens)
+
+    out = {
+        "config": dataclasses.asdict(cfg),
+        "term_names": TERM_NAMES,
+        "coeffs": ens,
+        "coeffs_std": std,
+        "patch_coeffs": C,
+        "n_patches": int(C.shape[0]),
+        "avg_quality": float(Q.mean()),
+        "quality_std": float(Q.std()),
+    }
+    if cfg.write_artifacts:
+        write_json(
+            Path(cfg.output_dir) / "patch_sindy_results.json",
+            {k: v for k, v in out.items() if k not in ("config", "patch_coeffs")},
+        )
+    return out
+
+
+def cmd_patch_sindy(argv: list[str]) -> int:
+    import argparse
+
+    parser = argparse.ArgumentParser(prog="pdx patch-sindy")
+    parser.add_argument("--data-dir", default="data/Real-Images")
+    parser.add_argument("--output-dir", default="outputs/latest/patch_sindy")
+    parser.add_argument("--max-images", type=int, default=None)
+    parser.add_argument("--patch-size", type=int, default=256)
+    parser.add_argument("--overlap", type=int, default=64)
+    parser.add_argument("--registration", choices=["none", "ecc"], default="none")
+    parser.add_argument("--max-patches", type=int, default=None)
+    args = parser.parse_args(argv)
+    out = run(
+        PatchSindyConfig(
+            data_dir=args.data_dir, output_dir=args.output_dir, max_images=args.max_images,
+            patch_size=args.patch_size, overlap=args.overlap,
+            registration_method=args.registration, max_patches=args.max_patches,
+        )
+    )
+    print(f"Valid patches: {out['n_patches']}  avg quality: {out['avg_quality']:.4f}")
+    print("u_t = ", end="")
+    terms = [
+        f"{c:+.6e}·{n}"
+        for c, n in zip(out["coeffs"], out["term_names"])
+        if abs(c) > 1e-7
+    ]
+    print("  ".join(terms) if terms else "0")
+    return 0

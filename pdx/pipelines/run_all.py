@@ -1,0 +1,149 @@
+"""Orchestrator: run every pipeline in sequence.
+
+Parity: ``scripts/run_all.py`` — fast steps (analyze -> figures -> slides)
+then heavy steps (improved registration, patch sindy, patch discovery,
+transport), fail-fast, then list produced artifacts. The reference shells out
+to a fresh Python process per script (run_all.py:31-42); here the stages run
+in-process (shared jit cache, one device context) while keeping the same
+stage order and the same artifact contract between stages.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+
+
+@dataclass(frozen=True)
+class RunAllConfig:
+    data_dir: str = "data/Real-Images"
+    output_root: str = "outputs/latest"
+    max_images: int = 51
+    skip_heavy: bool = False
+    skip: int = 25
+    subsample: int = 12
+
+
+def run(cfg: RunAllConfig) -> dict[str, str]:
+    out_root = Path(cfg.output_root)
+    status: dict[str, str] = {}
+
+    # --- fast steps -------------------------------------------------------
+    from pdx.pipelines.analyze import AnalyzeConfig, run as run_analyze
+
+    run_analyze(
+        AnalyzeConfig(
+            data_dir=cfg.data_dir,
+            output_dir=str(out_root / "slides"),
+            max_images=cfg.max_images,
+            skip=cfg.skip,
+            subsample=cfg.subsample,
+        )
+    )
+    status["analyze"] = "ok"
+
+    from pdx.report.figures import (
+        generate_presentation_figures_minimal,
+        create_simple_slide3,
+        create_method_slide,
+    )
+
+    generate_presentation_figures_minimal(out_root / "slides")
+    status["figures_minimal"] = "ok"
+    create_simple_slide3(out_root / "slides")
+    status["slide3"] = "ok"
+    create_method_slide(out_root / "slides")
+    status["method_slide"] = "ok"
+
+    if not cfg.skip_heavy:
+        from pdx.pipelines.improved_registration import (
+            ImprovedRegistrationConfig,
+            run as run_reg,
+        )
+
+        run_reg(
+            ImprovedRegistrationConfig(
+                data_dir=cfg.data_dir,
+                output_dir=str(out_root / "registration"),
+                max_images=cfg.max_images,
+                skip=cfg.skip,
+                subsample=cfg.subsample,
+            )
+        )
+        status["improved_registration"] = "ok"
+
+        from pdx.pipelines.patch_sindy import PatchSindyConfig, run as run_ps
+
+        run_ps(
+            PatchSindyConfig(
+                data_dir=cfg.data_dir,
+                output_dir=str(out_root / "patch_sindy"),
+                max_images=cfg.max_images,
+            )
+        )
+        status["patch_sindy"] = "ok"
+
+        from pdx.pipelines.patch_discovery import PatchDiscoveryConfig, run as run_pd
+
+        run_pd(
+            PatchDiscoveryConfig(
+                data_dir=cfg.data_dir,
+                output_dir=str(out_root / "patch_pde"),
+                max_images=cfg.max_images,
+                skip=cfg.skip,
+                subsample=cfg.subsample,
+            )
+        )
+        status["patch_discovery"] = "ok"
+
+        from pdx.pipelines.transport import TransportConfig, run as run_tr
+
+        run_tr(
+            TransportConfig(
+                data_dir=cfg.data_dir,
+                output_dir=str(out_root / "transport"),
+                max_images=cfg.max_images,
+            )
+        )
+        status["transport"] = "ok"
+
+    return status
+
+
+def list_artifacts(output_root: str | Path) -> list[str]:
+    """List produced artifacts (parity: run_all.py list_latest_pngs)."""
+    root = Path(output_root)
+    if not root.exists():
+        return []
+    return sorted(
+        str(p.relative_to(root)) for p in root.rglob("*") if p.suffix in {".png", ".json", ".csv", ".txt"}
+    )
+
+
+def cmd_run_all(argv: list[str]) -> int:
+    import argparse
+
+    parser = argparse.ArgumentParser(prog="pdx run-all")
+    parser.add_argument("--data-dir", default="data/Real-Images")
+    parser.add_argument("--output-root", default="outputs/latest")
+    parser.add_argument("--max-images", type=int, default=51)
+    parser.add_argument("--skip-heavy", action="store_true")
+    parser.add_argument("--skip", type=int, default=25)
+    parser.add_argument("--subsample", type=int, default=12)
+    args = parser.parse_args(argv)
+    status = run(
+        RunAllConfig(
+            data_dir=args.data_dir,
+            output_root=args.output_root,
+            max_images=args.max_images,
+            skip_heavy=args.skip_heavy,
+            skip=args.skip,
+            subsample=args.subsample,
+        )
+    )
+    for stage, st in status.items():
+        print(f"  {stage}: {st}")
+    print("\nArtifacts:")
+    for a in list_artifacts(args.output_root):
+        print(f"  {a}")
+    return 0

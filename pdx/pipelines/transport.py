@@ -192,6 +192,46 @@ def mass_conservation_drift(U: np.ndarray) -> float:
     return float((sums.max() - sums.min()) / (sums.mean() + 1e-12) * 100.0)
 
 
+def quick_run(cfg: TransportConfig, U_raw: np.ndarray | None = None) -> dict[str, Any]:
+    """Smoke version: few frames, heavy downsample, plain least squares, and
+    the physics sanity check (parity: transport_quick_test.py — 10 frames,
+    8x downsample, lstsq, 'transport coefficient should be ~ -1' printout)."""
+    from pdx.solve.lasso import lstsq_solve
+
+    if U_raw is None:
+        U_raw = load_images(cfg.data_dir, max_images=cfg.max_images)
+    images = jnp.asarray(U_raw, dtype=jnp.result_type(float))
+    images = images / images.max()
+    T, H, W = images.shape
+    imgs_ds = resize_bilinear(images, H // cfg.downsample, W // cfg.downsample)
+    mn = imgs_ds.min(axis=(1, 2), keepdims=True)
+    mx = imgs_ds.max(axis=(1, 2), keepdims=True)
+    flow_r, flow_c = farneback_flow_pairs(
+        (imgs_ds - mn) / (mx - mn + 1e-12),
+        pyr_scale=0.5, levels=cfg.flow_levels, winsize=cfg.flow_winsize,
+        iterations=cfg.flow_iterations, poly_n=cfg.flow_poly_n,
+        poly_sigma=cfg.flow_poly_sigma, gaussian_win=False,
+    )
+    library, target = build_transport_library(imgs_ds, flow_c, flow_r, cfg)
+    X = jnp.stack([library[n].reshape(-1) for n in TERM_NAMES], axis=1)
+    y = target.reshape(-1)
+    coef = lstsq_solve(X, y)
+    transport_coef = float(coef[TERM_NAMES.index("transport")])
+    resid = y - X @ coef
+    r2 = 1.0 - float(jnp.sum(resid**2)) / float(jnp.sum((y - jnp.mean(y)) ** 2))
+    return {
+        "coefficients": np.asarray(coef),
+        "term_names": TERM_NAMES,
+        "r2": r2,
+        "transport_coef": transport_coef,
+        "physics_check": (
+            "continuity form predicts transport coefficient ~ -1; "
+            f"got {transport_coef:+.4f}"
+        ),
+        "mean_flow_speed": float(jnp.mean(jnp.sqrt(flow_r**2 + flow_c**2))),
+    }
+
+
 def cmd_transport(argv: list[str]) -> int:
     import argparse
 
@@ -200,11 +240,19 @@ def cmd_transport(argv: list[str]) -> int:
     parser.add_argument("--output-dir", default="outputs/latest/transport")
     parser.add_argument("--max-images", type=int, default=51)
     parser.add_argument("--downsample", type=int, default=4)
+    parser.add_argument("--quick", action="store_true", help="10-frame 8x-downsample lstsq smoke test")
     args = parser.parse_args(argv)
     cfg = TransportConfig(
         data_dir=args.data_dir, output_dir=args.output_dir,
         max_images=args.max_images, downsample=args.downsample,
     )
+    if args.quick:
+        cfg = dataclasses.replace(cfg, max_images=min(cfg.max_images, 10), downsample=8)
+        q = quick_run(cfg)
+        print(f"Mean optical-flow speed: {q['mean_flow_speed']:.3f} px/frame")
+        print(f"R2 (lstsq, all terms): {q['r2']:.6f}")
+        print(q["physics_check"])
+        return 0
     out = run(cfg)
     print(f"Mean optical-flow speed: {out['mean_flow_speed']:.3f} px/frame")
     for alpha, r in out["results"].items():

@@ -1,0 +1,248 @@
+"""Figure/slide generators reading the artifact contract.
+
+Functional equivalents of the reference's six presentation generators
+(generate_presentation_figures[_minimal].py, create_simple_slide3.py,
+create_method_slide.py, create_finalclass_figures.py,
+create_comparative_final_figures.py). All of them consume ONLY the artifact
+files (best_model.json, models_comparison.json, patch CSV) — no computation —
+so they port cleanly across backends; they error with the reference's
+"run analyze first" contract message if the inputs are missing
+(create_method_slide.py:33-39).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+
+
+def _load_contract(slides_dir: Path) -> tuple[dict, dict]:
+    best_path = slides_dir / "best_model.json"
+    comp_path = slides_dir / "models_comparison.json"
+    if not best_path.exists() or not comp_path.exists():
+        raise FileNotFoundError(
+            f"Missing {best_path.name}/{comp_path.name} in {slides_dir} — run `pdx analyze` first"
+        )
+    return json.loads(best_path.read_text()), json.loads(comp_path.read_text())
+
+
+def model_comparison_figure(slides_dir: str | Path, out_name: str = "MODEL_COMPARISON.png") -> Path:
+    """2x3 grid of per-model coefficient bar charts (analyze_results.py:716-735)."""
+    slides_dir = Path(slides_dir)
+    _best, comp = _load_contract(slides_dir)
+    models = comp["models"]
+    fig, axes = plt.subplots(2, 3, figsize=(20, 12))
+    axes = axes.ravel()
+    for idx, m in enumerate(models[:6]):
+        ax = axes[idx]
+        coeffs = np.asarray(m["coeffs"], dtype=float)
+        colors = ["red" if abs(c) > 1e-5 else "lightgray" for c in coeffs]
+        ax.bar(range(len(coeffs)), coeffs, color=colors, edgecolor="black")
+        ax.set_xticks(range(len(m["terms"])))
+        ax.set_xticklabels(m["terms"], fontsize=9, rotation=45, ha="right")
+        ax.set_ylabel("Coefficient", fontsize=10, fontweight="bold")
+        ax.set_title(
+            f"{m['name']}\nR2 = {m['r2_test']:.4f}, Active: {m['n_active']}/{m['n_total']}",
+            fontsize=11,
+            fontweight="bold",
+        )
+        ax.grid(True, alpha=0.3, axis="y")
+        ax.axhline(0, color="black", linewidth=1)
+    plt.tight_layout()
+    out = slides_dir / out_name
+    plt.savefig(out, dpi=200, bbox_inches="tight")
+    plt.close(fig)
+    return out
+
+
+def generate_presentation_figures_minimal(slides_dir: str | Path) -> list[Path]:
+    """FIG1 (model R2/rollout comparison), FIG2 (rollout error growth),
+    FIG3 (best-model coefficients) — the minimal deck assets
+    (generate_presentation_figures_minimal.py)."""
+    slides_dir = Path(slides_dir)
+    best, comp = _load_contract(slides_dir)
+    outs = []
+
+    # FIG1: model comparison (R2 + rollout nRMSE)
+    models = comp["models"]
+    names = [m["name"].split(":")[0] for m in models]
+    r2s = [m["r2_test"] for m in models]
+    ks = comp.get("rollout_steps", [])
+    k_eval = ks[-1] if ks else None
+    rolls = [
+        (m.get("rollout", {}).get("test", {}) or {}).get("nrmse", np.nan) for m in models
+    ]
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(13, 4.5))
+    ax1.bar(names, r2s, color="#2a6fdb", edgecolor="black")
+    ax1.set_ylabel("Test R²")
+    ax1.set_title("Fit quality")
+    ax1.tick_params(axis="x", rotation=30)
+    ax2.bar(names, rolls, color="#d9534f", edgecolor="black")
+    ax2.set_ylabel(f"Rollout nRMSE (k={k_eval})")
+    ax2.set_title("Dynamical stability (lower is better)")
+    ax2.tick_params(axis="x", rotation=30)
+    plt.tight_layout()
+    p = slides_dir / "FIG1_MODEL_COMPARISON.png"
+    plt.savefig(p, dpi=200, bbox_inches="tight")
+    plt.close(fig)
+    outs.append(p)
+
+    # FIG2: rollout error growth curves
+    fig, ax = plt.subplots(figsize=(7, 4.5))
+    for m in models:
+        curve = m.get("rollout_curve_test", {}).get("metrics", {})
+        if not curve:
+            continue
+        steps = sorted(int(k) for k in curve.keys())
+        vals = [curve[str(k)].get("nrmse", np.nan) for k in steps]
+        ax.plot(steps, vals, marker="o", label=m["name"].split(":")[0])
+    ax.set_yscale("log")
+    ax.set_xlabel("Horizon k")
+    ax.set_ylabel("Rollout nRMSE")
+    ax.set_title("Error compounds over rollout")
+    ax.grid(True, alpha=0.25)
+    ax.legend(frameon=False, fontsize=8)
+    plt.tight_layout()
+    p = slides_dir / "FIG2_ROLLOUT_CURVES.png"
+    plt.savefig(p, dpi=200, bbox_inches="tight")
+    plt.close(fig)
+    outs.append(p)
+
+    # FIG3: best-model coefficients
+    fig, ax = plt.subplots(figsize=(7, 4.5))
+    coeffs = np.asarray(best["coeffs"], dtype=float)
+    ax.bar(best["terms"], coeffs, color="#2aa84a", edgecolor="black")
+    ax.axhline(0, color="black", linewidth=1)
+    ax.set_title(f"{best['name']}\n{best['equation']}")
+    ax.tick_params(axis="x", rotation=30)
+    plt.tight_layout()
+    p = slides_dir / "FIG3_BEST_MODEL.png"
+    plt.savefig(p, dpi=200, bbox_inches="tight")
+    plt.close(fig)
+    outs.append(p)
+
+    outs.append(model_comparison_figure(slides_dir))
+    return outs
+
+
+def create_simple_slide3(slides_dir: str | Path) -> Path:
+    """Summary slide: equation + headline metrics (create_simple_slide3.py)."""
+    slides_dir = Path(slides_dir)
+    best, _comp = _load_contract(slides_dir)
+    fig, ax = plt.subplots(figsize=(12, 6.5))
+    ax.axis("off")
+    ax.text(0.5, 0.85, "Discovered PDE", ha="center", fontsize=22, fontweight="bold")
+    ax.text(0.5, 0.68, best["equation"], ha="center", fontsize=15, family="monospace",
+            bbox=dict(boxstyle="round", facecolor="#eef4ff"))
+    rows = [
+        ("Model", best["name"]),
+        ("Test R²", f"{best['r2']:.4f}"),
+        ("Test RMSE", f"{best['rmse']:.4f}"),
+        ("nRMSE", f"{best['nrmse']:.3f}"),
+        ("Correlation", f"{best['corr']:.3f}"),
+        ("One-step RMSE", f"{best['one_step_rmse']:.4f}"),
+        ("Active terms", f"{best['n_active']}/{best['n_total']}"),
+    ]
+    for i, (k, v) in enumerate(rows):
+        ax.text(0.3, 0.52 - 0.06 * i, k, ha="right", fontsize=12, fontweight="bold")
+        ax.text(0.33, 0.52 - 0.06 * i, str(v), ha="left", fontsize=12)
+    out = slides_dir / "SLIDE3_RESULTS.png"
+    plt.savefig(out, dpi=200, bbox_inches="tight")
+    plt.close(fig)
+    return out
+
+
+def create_method_slide(slides_dir: str | Path) -> Path:
+    """Pipeline-methodology slide (create_method_slide.py)."""
+    slides_dir = Path(slides_dir)
+    best, comp = _load_contract(slides_dir)
+    stages = [
+        "TIFF frames",
+        "Downsample +\nGaussian denoise",
+        "Optical-flow\nregistration",
+        "Derivatives +\nterm library Θ(u)",
+        "STRidge sparse\nregression",
+        "Rollout / holdout\nvalidation",
+    ]
+    fig, ax = plt.subplots(figsize=(13, 4.5))
+    ax.axis("off")
+    n = len(stages)
+    for i, s in enumerate(stages):
+        x = (i + 0.5) / n
+        ax.text(x, 0.6, s, ha="center", va="center", fontsize=11,
+                bbox=dict(boxstyle="round,pad=0.6", facecolor="#e8f0e8", edgecolor="black"))
+        if i < n - 1:
+            ax.annotate("", xy=((i + 1.07) / n, 0.6), xytext=((i + 0.93) / n, 0.6),
+                        arrowprops=dict(arrowstyle="->", lw=1.5))
+    ax.text(0.5, 0.15, f"Selected: {best['name']}   |   {best['equation']}", ha="center",
+            fontsize=11, family="monospace")
+    ax.set_title("PDE discovery methodology", fontsize=16, fontweight="bold")
+    out = slides_dir / "SLIDE_METHOD.png"
+    plt.savefig(out, dpi=200, bbox_inches="tight")
+    plt.close(fig)
+    return out
+
+
+def create_final_figures(slides_dir: str | Path) -> list[Path]:
+    """Richer final-report figures: per-model rollout table + coefficient
+    heatmap (functional equivalent of create_finalclass_figures.py /
+    create_comparative_final_figures.py)."""
+    slides_dir = Path(slides_dir)
+    best, comp = _load_contract(slides_dir)
+    models = comp["models"]
+    outs = []
+
+    # coefficient matrix heatmap across models
+    all_terms = sorted({t for m in models for t in m["terms"]})
+    M = np.zeros((len(models), len(all_terms)))
+    for i, m in enumerate(models):
+        for t, c in zip(m["terms"], m["coeffs"]):
+            M[i, all_terms.index(t)] = c
+    fig, ax = plt.subplots(figsize=(12, 5))
+    vmax = np.abs(M).max() + 1e-12
+    im = ax.imshow(M, cmap="RdBu_r", vmin=-vmax, vmax=vmax, aspect="auto")
+    ax.set_xticks(range(len(all_terms)))
+    ax.set_xticklabels(all_terms, rotation=45, ha="right")
+    ax.set_yticks(range(len(models)))
+    ax.set_yticklabels([m["name"].split(":")[0] for m in models])
+    fig.colorbar(im, ax=ax, label="coefficient")
+    ax.set_title("Coefficients across model families")
+    plt.tight_layout()
+    p = slides_dir / "FINAL_COEFF_MATRIX.png"
+    plt.savefig(p, dpi=200, bbox_inches="tight")
+    plt.close(fig)
+    outs.append(p)
+
+    # metric table figure
+    fig, ax = plt.subplots(figsize=(12, 3.5))
+    ax.axis("off")
+    cols = ["Model", "R²", "RMSE", "nRMSE", "corr", "one-step", "active"]
+    cells = [
+        [
+            m["name"].split(":")[0],
+            f"{m['r2_test']:.4f}",
+            f"{m['rmse_test']:.5f}",
+            f"{m['nrmse_test']:.3f}",
+            f"{m['corr_test']:.3f}",
+            f"{m['one_step_rmse']:.5f}",
+            f"{m['n_active']}/{m['n_total']}",
+        ]
+        for m in models
+    ]
+    table = ax.table(cellText=cells, colLabels=cols, loc="center")
+    table.auto_set_font_size(False)
+    table.set_fontsize(9)
+    table.scale(1.0, 1.4)
+    ax.set_title("Model comparison (test)", fontweight="bold")
+    p = slides_dir / "FINAL_METRICS_TABLE.png"
+    plt.savefig(p, dpi=200, bbox_inches="tight")
+    plt.close(fig)
+    outs.append(p)
+    return outs

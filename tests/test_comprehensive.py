@@ -1,0 +1,160 @@
+"""Comprehensive-benchmark matrix tests (reduced matrix for CI speed) +
+DMD / preprocessor parity tests."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pdx.solve.dmd import standard_dmd, multiscale_dmd, sparse_dmd
+from pdx.preprocess import (
+    preprocess_temporal,
+    preprocess_detrend,
+    preprocess_detrend_global,
+    preprocess_bilateral,
+)
+
+
+class TestDMD:
+    def make_data(self, T=30, n=16):
+        # low-rank dynamics: two decaying traveling modes
+        t = np.arange(T)[:, None, None]
+        x = np.linspace(0, 2 * np.pi, n, endpoint=False)
+        X, Y = np.meshgrid(x, x, indexing="ij")
+        U = (
+            np.exp(-0.01 * t) * np.sin(X + 0.1 * t) * np.cos(Y)
+            + 0.5 * np.exp(-0.05 * t) * np.cos(2 * X - 0.2 * t)
+        )
+        return U
+
+    def test_standard_dmd_reconstructs_lowrank(self):
+        U = self.make_data()
+        rec = np.asarray(standard_dmd(jnp.asarray(U), rank=10))
+        err = np.abs(rec - U).max() / np.abs(U).max()
+        assert err < 1e-3, err
+
+    def test_standard_dmd_matches_numpy_oracle(self):
+        from scipy.linalg import lstsq as scipy_lstsq
+
+        U = self.make_data(T=20, n=8)
+        rank = 6
+        rec = np.asarray(standard_dmd(jnp.asarray(U), rank=rank))
+        # oracle per reference algorithm
+        X = U.reshape(20, -1).T
+        X1, X2 = X[:, :-1], X[:, 1:]
+        Uu, s, Vh = np.linalg.svd(X1, full_matrices=False)
+        r = min(rank, len(s), 18)
+        Uu, s, Vh = Uu[:, :r], s[:r], Vh[:r, :]
+        s_reg = np.where(s > 1e-10, s, 1e-10)
+        At = Uu.T @ X2 @ Vh.T @ np.diag(1 / s_reg)
+        ev, W = np.linalg.eig(At)
+        Phi = X2 @ Vh.T @ np.diag(1 / s_reg) @ W
+        b = scipy_lstsq(Phi, X[:, 0], cond=1e-10)[0]
+        Xr = np.zeros((X.shape[0], 20), dtype=complex)
+        for t in range(20):
+            Xr[:, t] = Phi @ (b * ev**t)
+        want = np.real(Xr.T.reshape(U.shape))
+        np.testing.assert_allclose(rec, want, atol=1e-6 * np.abs(want).max())
+
+    def test_multiscale_reconstructs(self):
+        U = self.make_data()
+        rec = np.asarray(multiscale_dmd(jnp.asarray(U)))
+        assert rec.shape == U.shape
+        assert np.corrcoef(rec.ravel(), U.ravel())[0, 1] > 0.99
+
+    def test_sparse_dmd_matches_oracle(self):
+        """Sparse DMD keeps only top-energy modes (sparsity=0.1) so its
+        reconstruction is intentionally lossy (corr ~0.42 on this data — the
+        reference algorithm behaves identically); assert oracle parity."""
+        from scipy.linalg import svd as ssvd, lstsq as slstsq
+
+        U = self.make_data()
+        mine = np.asarray(sparse_dmd(jnp.asarray(U), rank=10))
+        nf = U.shape[0]
+        Xm = U.reshape(nf, -1).T
+        X1, X2 = Xm[:, :-1], Xm[:, 1:]
+        Uu, s, Vh = ssvd(X1, full_matrices=False)
+        r = min(10, len(s))
+        Uu, s, Vh = Uu[:, :r], s[:r], Vh[:r, :]
+        At = Uu.T @ X2 @ Vh.T @ np.diag(1 / s)
+        ev, W = np.linalg.eig(At)
+        Phi = X2 @ Vh.T @ np.diag(1 / s) @ W
+        me = np.abs(Phi).sum(axis=0)
+        keep = me >= np.percentile(me, 90)
+        Phi_s, ev_s = Phi[:, keep], ev[keep]
+        b = slstsq(Phi_s, Xm[:, 0], cond=1e-10)[0]
+        Xr = np.zeros((Xm.shape[0], nf), dtype=complex)
+        for tt in range(nf):
+            Xr[:, tt] = Phi_s @ (b * ev_s**tt)
+        want = np.real(Xr.T.reshape(U.shape))
+        np.testing.assert_allclose(mine, want, atol=1e-10)
+
+
+class TestPreprocessors:
+    def test_temporal_matches_reference_loop(self):
+        rng = np.random.default_rng(0)
+        U = rng.normal(size=(9, 5, 5))
+        got = np.asarray(preprocess_temporal(jnp.asarray(U), window=3))
+        want = np.zeros_like(U)
+        half = 1
+        for i in range(9):
+            want[i] = U[max(0, i - half) : min(9, i + half + 1)].mean(axis=0)
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+
+    def test_detrend_global_removes_exponential(self):
+        rng = np.random.default_rng(1)
+        base = rng.uniform(0.5, 1.0, size=(1, 8, 8))
+        decay = np.exp(-0.05 * np.arange(20))
+        U = base * decay[:, None, None]
+        out = np.asarray(preprocess_detrend_global(jnp.asarray(U)))
+        frame_means = out.mean(axis=(1, 2))
+        assert frame_means.std() < 0.05  # trend removed
+
+    def test_bilateral_matches_reference_formula(self):
+        from scipy.ndimage import gaussian_filter
+
+        rng = np.random.default_rng(2)
+        U = rng.normal(size=(3, 20, 20))
+        got = np.asarray(preprocess_bilateral(jnp.asarray(U), sigma_s=2, sigma_r=0.1))
+        sm = np.stack([gaussian_filter(f, 2.0) for f in U])
+        w = np.exp(-((U - sm) ** 2) / (2 * 0.1**2))
+        want = w * U + (1 - w) * sm
+        np.testing.assert_allclose(got, want, atol=1e-8)
+
+
+class TestMatrix:
+    def test_reduced_matrix(self):
+        """Reduced matrix (4 methods x clean+2 regimes) — clean recovery must
+        be accurate and rankings finite. Full 21x8 runs via the CLI."""
+        from pdx.pipelines.comprehensive import ComprehensiveConfig, run
+
+        cfg = ComprehensiveConfig(
+            n_seconds=0.5,
+            methods=("M01_baseline", "M02_gaussian", "M09_fourier", "M10_weak_form"),
+            noises=("N2_noise", "N3_blur"),
+            write_artifacts=False,
+            n_subsample=10_000,
+        )
+        out = run(cfg)
+        assert set(out["results"].keys()) == {"N0_clean", "N2_noise", "N3_blur"}
+        clean = out["results"]["N0_clean"]
+        # FD baseline on clean data recovers within a few percent at 64x64
+        assert clean["M01_baseline"]["error"] < 10.0, clean
+        assert out["best_overall"] in out["methods"]
+        for n, d in out["results"].items():
+            for m, r in d.items():
+                assert "error" in r and "coef" in r
+
+    def test_dmd_and_robust_methods_run(self):
+        from pdx.pipelines.comprehensive import ComprehensiveConfig, run
+
+        cfg = ComprehensiveConfig(
+            n_seconds=0.25,
+            methods=("M07_huber", "M08_ransac", "M12_dmd", "M16_multiscale_dmd", "M18_detrend"),
+            noises=("N2_noise",),
+            write_artifacts=False,
+            n_subsample=5_000,
+        )
+        out = run(cfg)
+        for n in out["results"]:
+            for m, r in out["results"][n].items():
+                assert "error_msg" not in r, (n, m, r)

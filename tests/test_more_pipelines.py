@@ -1,0 +1,213 @@
+"""Tests: KS-1D ETD + 1-D SINDy, improved-registration pipeline, patch-sindy,
+run-all orchestrator, figure generators."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pdx.sim.ks1d import (
+    Ks1dConfig,
+    simulate_ks1d,
+    ks1d_step,
+    default_ic,
+    spatially_shifted_data,
+    varying_ic_data,
+)
+from pdx.pipelines.sindy1d import Sindy1dConfig, run as run_1d, register_1d, build_library_1d
+
+SMALL_1D = dict(n_steps=400)
+
+
+class TestKs1d:
+    def test_etd_matches_notebook_formula(self):
+        """One step vs a NumPy transcription of the documented ETD scheme."""
+        cfg = Ks1dConfig(N=64, n_steps=1)
+        u0 = np.asarray(default_ic(cfg))
+        got = np.asarray(ks1d_step(cfg, jnp.asarray(u0)))
+
+        dx = cfg.L / cfg.N
+        freqs = np.fft.rfftfreq(cfg.N, d=dx)
+        k = 2 * np.pi * freqs
+        lin = cfg.a * (-(k**2)) + cfg.b * (k**4)
+        exp_term = np.exp(cfg.dt * lin)
+        coef = np.where(lin == 0.0, cfg.dt, (exp_term - 1.0) / lin)
+        alias = freqs < 2 / 3 * freqs.max()
+        nl_hat = alias * np.fft.rfft(cfg.c * u0**2)
+        want = np.fft.irfft(exp_term * np.fft.rfft(u0) + coef * (1j * k * nl_hat), n=cfg.N)
+        np.testing.assert_allclose(got, want, atol=1e-12)
+
+    def test_trajectory_stable(self):
+        U = simulate_ks1d(Ks1dConfig(**SMALL_1D))
+        assert np.all(np.isfinite(np.asarray(U)))
+        # KS reaches a chaotic attractor with O(1) amplitude
+        assert 0.5 < np.abs(np.asarray(U[-1])).max() < 10
+
+    def test_shifted_data_rolls(self):
+        U_shift, shifts = spatially_shifted_data(Ks1dConfig(n_steps=20))
+        U = simulate_ks1d(Ks1dConfig(n_steps=20))
+        for i in (0, 7, 20):
+            np.testing.assert_allclose(
+                np.asarray(U_shift[i]), np.roll(np.asarray(U[i]), shifts[i]), atol=1e-12
+            )
+
+    def test_varying_ic_frame_semantics(self):
+        """Frame i must equal i steps from its own perturbed IC (the batched
+        scan must reproduce the reference's per-frame re-simulation)."""
+        cfg = Ks1dConfig(N=64, n_steps=5)
+        U = varying_ic_data(cfg, seed=42, noise_level=0.02)
+        rng = np.random.default_rng(42)
+        base = np.asarray(default_ic(cfg))
+        for i in range(6):
+            u = jnp.asarray(base + 0.02 * rng.normal(0, 1, base.shape))
+            for _ in range(i):
+                u = ks1d_step(cfg, u)
+            np.testing.assert_allclose(np.asarray(U[i]), np.asarray(u), atol=1e-10)
+
+
+class TestSindy1d:
+    def test_clean_recovery(self):
+        out = run_1d(Sindy1dConfig(**SMALL_1D, regressor="stridge"))
+        assert out["rel_err_pct"].max() < 5.0, out["coeffs"]
+        assert out["f1_support"] == 1.0
+
+    def test_lasso_recovery(self):
+        out = run_1d(Sindy1dConfig(**SMALL_1D, regressor="lasso", lasso_alpha=1e-5))
+        assert out["rel_err_pct"].max() < 10.0, out["coeffs"]
+
+    def test_fd_derivatives_recover(self):
+        out = run_1d(Sindy1dConfig(**SMALL_1D, derivative="finite", regressor="stridge"))
+        # FD truncation degrades u_xxxx; still in the right regime
+        assert out["rel_err_pct"][0] < 15.0
+        assert out["f1_support"] == 1.0
+
+    def test_registration_recovers_shifted(self):
+        bad = run_1d(Sindy1dConfig(**SMALL_1D, scenario="shifted", regressor="stridge"))
+        good = run_1d(
+            Sindy1dConfig(**SMALL_1D, scenario="shifted", register=True, regressor="stridge")
+        )
+        assert good["rel_err_pct"].max() < bad["rel_err_pct"].max()
+        assert good["rel_err_pct"].max() < 10.0, good["coeffs"]
+
+    def test_register_1d_exact_integer_shifts(self):
+        cfg = Ks1dConfig(n_steps=30)
+        U_shift, shifts = spatially_shifted_data(cfg)
+        aligned = register_1d(U_shift)
+        U = simulate_ks1d(cfg)
+        # alignment is to the mean reference: relative shifts removed up to a
+        # common offset; frame-to-frame differences should match clean data
+        d_aligned = np.std(np.asarray(aligned[1:]) - np.asarray(aligned[:-1]))
+        d_shifted = np.std(np.asarray(U_shift[1:]) - np.asarray(U_shift[:-1]))
+        d_clean = np.std(np.asarray(U[1:]) - np.asarray(U[:-1]))
+        assert abs(d_aligned - d_clean) < 0.2 * d_clean
+        assert d_shifted > 2 * d_clean
+
+    def test_noisy_denoise_helps(self):
+        noisy = run_1d(Sindy1dConfig(**SMALL_1D, scenario="noisy", noise_rel=0.02, regressor="stridge"))
+        den = run_1d(
+            Sindy1dConfig(
+                **SMALL_1D, scenario="noisy", noise_rel=0.02, denoise="spectral", regressor="stridge"
+            )
+        )
+        assert den["rel_err_pct"].mean() < noisy["rel_err_pct"].mean()
+
+    def test_mad_noise_estimate(self):
+        out_clean = run_1d(Sindy1dConfig(**SMALL_1D, regressor="lstsq"))
+        out_noisy = run_1d(
+            Sindy1dConfig(**SMALL_1D, scenario="noisy", noise_rel=0.05, regressor="lstsq")
+        )
+        assert out_noisy["noise_mad_estimate"] > 3 * out_clean["noise_mad_estimate"]
+
+
+@pytest.fixture(scope="module")
+def tiff_dir(tmp_path_factory):
+    PIL = pytest.importorskip("PIL.Image")
+    from test_real_pipelines import make_synthetic_stack
+
+    d = tmp_path_factory.mktemp("synth_tiffs2")
+    for i, frame in enumerate(make_synthetic_stack(T=16)):
+        PIL.fromarray(frame).save(d / f"frame_{i:03d}.tif")
+    return d
+
+
+class TestImprovedRegistration:
+    def test_pipeline(self, tiff_dir, tmp_path):
+        from pdx.pipelines.improved_registration import ImprovedRegistrationConfig, run
+
+        cfg = ImprovedRegistrationConfig(
+            data_dir=str(tiff_dir), output_dir=str(tmp_path), max_images=8,
+            skip=10, subsample=6, savgol_window=5, savgol_poly=2,
+        )
+        out = run(cfg)
+        assert out["selected_method"] in ("Farneback", "DIS")
+        assert np.isfinite(out["r2"])
+        assert len(out["coeffs"]) == 13
+        art = json.loads((tmp_path / "registration_study.json").read_text())
+        assert "farneback_metrics" in art and "dis_metrics" in art
+
+
+class TestPatchSindy:
+    def test_pipeline(self, tiff_dir, tmp_path):
+        from pdx.pipelines.patch_sindy import PatchSindyConfig, run
+
+        cfg = PatchSindyConfig(
+            data_dir=str(tiff_dir), output_dir=str(tmp_path), max_images=10,
+            patch_size=64, overlap=16, skip_boundary=3, subsample=2, min_patches=4,
+        )
+        out = run(cfg)
+        assert out["n_patches"] >= 4
+        assert len(out["coeffs"]) == 11
+        assert np.all(np.isfinite(out["coeffs"]))
+        art = json.loads((tmp_path / "patch_sindy_results.json").read_text())
+        assert art["term_names"][6] == "∇²u"
+
+    def test_ecc_registration_path(self, tiff_dir, tmp_path):
+        from pdx.pipelines.patch_sindy import PatchSindyConfig, run
+
+        cfg = PatchSindyConfig(
+            data_dir=str(tiff_dir), output_dir=str(tmp_path), max_images=5,
+            patch_size=64, overlap=0, skip_boundary=3, subsample=2, min_patches=2,
+            registration_method="ecc", max_patches=2,
+        )
+        out = run(cfg)
+        assert out["n_patches"] >= 2
+
+
+class TestRunAllAndFigures:
+    def test_run_all_fast_steps(self, tiff_dir, tmp_path):
+        from pdx.pipelines.run_all import RunAllConfig, run, list_artifacts
+
+        cfg = RunAllConfig(
+            data_dir=str(tiff_dir), output_root=str(tmp_path), max_images=16,
+            skip_heavy=True, skip=10, subsample=6,
+        )
+        status = run(cfg)
+        assert status["analyze"] == "ok"
+        assert status["figures_minimal"] == "ok"
+        arts = list_artifacts(tmp_path)
+        assert "slides/best_model.json" in arts
+        assert any(a.endswith("FIG1_MODEL_COMPARISON.png") for a in arts)
+        assert any(a.endswith("SLIDE3_RESULTS.png") for a in arts)
+        assert any(a.endswith("SLIDE_METHOD.png") for a in arts)
+
+    def test_figures_error_without_contract(self, tmp_path):
+        from pdx.report.figures import create_method_slide
+
+        with pytest.raises(FileNotFoundError, match="run `pdx analyze` first"):
+            create_method_slide(tmp_path)
+
+    def test_final_figures(self, tiff_dir, tmp_path):
+        from pdx.pipelines.analyze import AnalyzeConfig, run as run_analyze
+        from pdx.report.figures import create_final_figures
+
+        run_analyze(
+            AnalyzeConfig(
+                data_dir=str(tiff_dir), output_dir=str(tmp_path), max_images=12,
+                registration=False, skip=10, subsample=6, rollout_steps=(1, 2),
+            )
+        )
+        outs = create_final_figures(tmp_path)
+        for p in outs:
+            assert Path(p).exists() and Path(p).stat().st_size > 1000
