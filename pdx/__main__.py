@@ -79,9 +79,29 @@ def cmd_json(argv: list[str]) -> int:
     return 0
 
 
+def cmd_list_resolutions(argv: list[str]) -> int:
+    """Image-resolution audit (reference: scripts/list_image_resolutions.py)."""
+    import argparse
+
+    from pdx.io_host.images import list_image_resolutions
+
+    parser = argparse.ArgumentParser(prog="pdx list-resolutions")
+    parser.add_argument("--data-dir", default="data/Real-Images")
+    parser.add_argument("--pattern", default="*.tif")
+    args = parser.parse_args(argv)
+    hist = list_image_resolutions(args.data_dir, args.pattern)
+    if not hist:
+        print(f"no images matching {args.pattern} in {args.data_dir}")
+        return 1
+    for (h, w), n in sorted(hist.items()):
+        print(f"  {h} x {w}: {n} files")
+    return 0
+
+
 COMMANDS = {
     "ks2d-bench": cmd_ks2d_bench,
     "ks2d-bench-json": cmd_json,
+    "list-resolutions": cmd_list_resolutions,
 }
 
 

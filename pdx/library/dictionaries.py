@@ -186,6 +186,87 @@ def real_image_term_fields(U: Array, dx: float, dy: float) -> dict[str, Array]:
     }
 
 
+# 25-term 4th-order extended library, parity: notebook 02 cells 8-9
+FOURTH_ORDER_TERMS: list[str] = [
+    "one", "u", "ux", "uy", "uxx", "uyy", "lap",
+    "u2", "u_ux", "u_uy", "ux2", "uy2", "u_uxx", "u_uyy", "u_lap",
+    "u3", "u2_ux", "u2_uy", "uxxx", "uyyy",
+    "uxxxx", "uyyyy", "bih", "u_uxxxx", "u_uyyyy",
+]
+
+FOURTH_ORDER_DISPLAY = {
+    **TERM_DISPLAY,
+    "u_uxx": "u·u_xx",
+    "u_uyy": "u·u_yy",
+    "u2_ux": "u²·u_x",
+    "u2_uy": "u²·u_y",
+    "uxxx": "u_xxx",
+    "uyyy": "u_yyy",
+    "uxxxx": "u_xxxx",
+    "uyyyy": "u_yyyy",
+    "u_uxxxx": "u·u_xxxx",
+    "u_uyyyy": "u·u_yyyy",
+}
+
+
+def fourth_order_term_fields(U: Array, dx: float, dy: float) -> dict[str, Array]:
+    """4th-order-accurate derivative fields for the extended real-image
+    library (notebook 02 cell 8, edge-padded): 4th-order central 1st/2nd
+    derivatives, 2nd-order 3rd/4th derivatives, same-grid via 3-pixel edge
+    padding. Convention: x = cols (axis -1), y = rows (axis -2), matching the
+    notebook's axis usage.
+    """
+    pads = [(0, 0)] * (U.ndim - 2) + [(3, 3), (3, 3)]
+    p = jnp.pad(U, pads, mode="edge")
+
+    def roll(f, s, ax):
+        return jnp.roll(f, s, axis=ax)
+
+    # 4th-order first derivatives on the padded grid, then crop
+    ux = (-roll(p, -2, -1) + 8 * roll(p, -1, -1) - 8 * roll(p, 1, -1) + roll(p, 2, -1)) / (12 * dx)
+    uy = (-roll(p, -2, -2) + 8 * roll(p, -1, -2) - 8 * roll(p, 1, -2) + roll(p, 2, -2)) / (12 * dy)
+    uxx = (-roll(p, -2, -1) + 16 * roll(p, -1, -1) - 30 * p + 16 * roll(p, 1, -1) - roll(p, 2, -1)) / (12 * dx**2)
+    uyy = (-roll(p, -2, -2) + 16 * roll(p, -1, -2) - 30 * p + 16 * roll(p, 1, -2) - roll(p, 2, -2)) / (12 * dy**2)
+    crop = (slice(None),) * (U.ndim - 2) + (slice(3, -3), slice(3, -3))
+    ux, uy, uxx, uyy = ux[crop], uy[crop], uxx[crop], uyy[crop]
+
+    # 2nd-order 3rd/4th derivatives with periodic rolls on the raw field
+    # (notebook quirk: these use np.roll on the unpadded array)
+    uxxx = (roll(U, -2, -1) - 2 * roll(U, -1, -1) + 2 * roll(U, 1, -1) - roll(U, 2, -1)) / (2 * dx**3)
+    uyyy = (roll(U, -2, -2) - 2 * roll(U, -1, -2) + 2 * roll(U, 1, -2) - roll(U, 2, -2)) / (2 * dy**3)
+    uxxxx = (roll(U, -2, -1) - 4 * roll(U, -1, -1) + 6 * U - 4 * roll(U, 1, -1) + roll(U, 2, -1)) / dx**4
+    uyyyy = (roll(U, -2, -2) - 4 * roll(U, -1, -2) + 6 * U - 4 * roll(U, 1, -2) + roll(U, 2, -2)) / dy**4
+
+    lap = uxx + uyy
+    return {
+        "one": jnp.ones_like(U),
+        "u": U,
+        "ux": ux,
+        "uy": uy,
+        "uxx": uxx,
+        "uyy": uyy,
+        "lap": lap,
+        "u2": U**2,
+        "u_ux": U * ux,
+        "u_uy": U * uy,
+        "ux2": ux**2,
+        "uy2": uy**2,
+        "u_uxx": U * uxx,
+        "u_uyy": U * uyy,
+        "u_lap": U * lap,
+        "u3": U**3,
+        "u2_ux": U**2 * ux,
+        "u2_uy": U**2 * uy,
+        "uxxx": uxxx,
+        "uyyy": uyyy,
+        "uxxxx": uxxxx,
+        "uyyyy": uyyyy,
+        "bih": uxxxx + uyyyy,
+        "u_uxxxx": U * uxxxx,
+        "u_uyyyy": U * uyyyy,
+    }
+
+
 def stack_terms(fields: dict[str, Array], names: list[str]) -> Array:
     """Stack named fields into a (p, ...) term array."""
     return jnp.stack([fields[n] for n in names], axis=0)

@@ -147,6 +147,28 @@ def tv_denoise(f: Array, weight: float = 0.1, n_iter: int = 50) -> Array:
     return out
 
 
+def tv_denoise_curvature(f: Array, weight: float = 0.05, n_iter: int = 3) -> Array:
+    """Curvature-flow TV variant (notebook 08 ``denoise_total_variation``):
+    iterate img += weight * div(grad img / |grad img|) with np.gradient
+    derivatives; unlike :func:`tv_denoise` this does NOT re-anchor to the
+    input each step and is bounded for weak gradients (unit-gradient
+    divergence = curvature)."""
+    import jax
+
+    def grad(a, axis):
+        return jnp.gradient(a, axis=axis)
+
+    def step(img, _):
+        gx = grad(img, -2)
+        gy = grad(img, -1)
+        mag = jnp.sqrt(gx**2 + gy**2) + 1e-8
+        div = grad(gx / mag, -2) + grad(gy / mag, -1)
+        return img + weight * div, None
+
+    out, _ = jax.lax.scan(step, f, None, length=int(n_iter))
+    return out
+
+
 def _savgol_coeffs(window: int, polyorder: int) -> np.ndarray:
     """Savitzky-Golay smoothing coefficients (scipy.signal.savgol_coeffs,
     deriv=0): least-squares fit of a degree-``polyorder`` polynomial over the

@@ -64,6 +64,19 @@ ANALYZE_DISPLAY = {
     "u_uy": "u*u_y",
     "ux2": "u_x^2",
     "uy2": "u_y^2",
+    # 4th-order extended terms (Model 7, notebook 02)
+    "u_uxx": "u*u_xx",
+    "u_uyy": "u*u_yy",
+    "u_lap": "u*lap(u)",
+    "u2_ux": "u^2*u_x",
+    "u2_uy": "u^2*u_y",
+    "uxxx": "u_xxx",
+    "uyyy": "u_yyy",
+    "uxxxx": "u_xxxx",
+    "uyyyy": "u_yyyy",
+    "bih": "biharm(u)",
+    "u_uxxxx": "u*u_xxxx",
+    "u_uyyyy": "u*u_yyyy",
 }
 
 MODELS: dict[str, list[str]] = {
@@ -104,6 +117,8 @@ class AnalyzeConfig:
     # reference-compat toggles
     reference_compat_warp: bool = False  # reproduce the x - flow warp bug
     registration: bool = True
+    # extension: add the 25-term 4th-order library (notebook 02) as Model 7
+    include_fourth_order: bool = False
     dtype: str = "float64"
     write_artifacts: bool = True
 
@@ -218,9 +233,18 @@ def run(cfg: AnalyzeConfig, U_raw: np.ndarray | None = None) -> dict[str, Any]:
     train_sl, test_sl = _split_slices(mt, cfg.train_frac)
     k_list = [int(k) for k in cfg.rollout_steps]
 
+    model_specs: list[tuple[str, list[str], dict]] = [
+        (name, names, fields) for name, names in MODELS.items()
+    ]
+    if cfg.include_fourth_order:
+        from pdx.library.dictionaries import FOURTH_ORDER_TERMS, fourth_order_term_fields
+
+        fields4 = fourth_order_term_fields(u, cfg.dx, cfg.dy)
+        model_specs.append(("Model 7: 4th-order extended (25 terms)", FOURTH_ORDER_TERMS, fields4))
+
     results = []
-    for model_name, names in MODELS.items():
-        terms = jnp.stack([fields[n] for n in names], axis=0)  # (p, T, H, W)
+    for model_name, names, fields_m in model_specs:
+        terms = jnp.stack([fields_m[n] for n in names], axis=0)  # (p, T, H, W)
         p = len(names)
         X_train = terms[:, train_sl].reshape(p, -1).T
         y_train = u_t[train_sl].reshape(-1)
@@ -246,7 +270,12 @@ def run(cfg: AnalyzeConfig, U_raw: np.ndarray | None = None) -> dict[str, Any]:
         one_step_train = float(one_step_prediction_rmse(u[train_sl], ut_pred_full[train_sl], dt))
         one_step_test = float(one_step_prediction_rmse(u[test_sl], ut_pred_full[test_sl], dt))
 
-        rhs = make_rhs_reflect(names, coeffs, cfg.dx, cfg.dy)
+        if len(names) > 13:
+            from pdx.validate.rollout import make_rhs_fourth_order
+
+            rhs = make_rhs_fourth_order(names, coeffs, cfg.dx, cfg.dy)
+        else:
+            rhs = make_rhs_reflect(names, coeffs, cfg.dx, cfg.dy)
         rollout = {}
         for k in k_list:
             for tag, sl in (("train", train_sl), ("test", test_sl)):
@@ -285,7 +314,16 @@ def run(cfg: AnalyzeConfig, U_raw: np.ndarray | None = None) -> dict[str, Any]:
     spatial_eval = _spatial_holdout(cfg, fields, u_t, u, best_overall["name"], mh, mw, axis="lr")
     spatial_eval_tb = _spatial_holdout(cfg, fields, u_t, u, best_overall["name"], mh, mw, axis="tb")
 
-    rhs_best = make_rhs_reflect(best_overall["names"], jnp.asarray(best_overall["coeffs"]), cfg.dx, cfg.dy)
+    if len(best_overall["names"]) > 13:
+        from pdx.validate.rollout import make_rhs_fourth_order
+
+        rhs_best = make_rhs_fourth_order(
+            best_overall["names"], jnp.asarray(best_overall["coeffs"]), cfg.dx, cfg.dy
+        )
+    else:
+        rhs_best = make_rhs_reflect(
+            best_overall["names"], jnp.asarray(best_overall["coeffs"]), cfg.dx, cfg.dy
+        )
     rollout_time = {
         k: {kk: float(vv) for kk, vv in rollout_k_rmse(u, rhs_best, k, test_sl.start, test_sl.stop, dt).items()}
         for k in k_list
@@ -421,6 +459,8 @@ def cmd_analyze(argv: list[str]) -> int:
     parser.add_argument("--stabilize", action="store_true")
     parser.add_argument("--no-registration", action="store_true")
     parser.add_argument("--reference-compat-warp", action="store_true")
+    parser.add_argument("--include-fourth-order", action="store_true",
+                        help="add the 25-term 4th-order library (notebook 02) as Model 7")
     parser.add_argument("--dtype", default="float64")
     parser.add_argument("--skip", type=int, default=25, help="crop margin in working pixels")
     parser.add_argument("--subsample", type=int, default=12, help="spatial subsample stride")
@@ -433,6 +473,7 @@ def cmd_analyze(argv: list[str]) -> int:
         stabilize_translation=args.stabilize,
         registration=not args.no_registration,
         reference_compat_warp=args.reference_compat_warp,
+        include_fourth_order=args.include_fourth_order,
         dtype=args.dtype,
         skip=args.skip,
         subsample=args.subsample,

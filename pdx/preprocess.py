@@ -79,6 +79,63 @@ def preprocess_detrend_global(U: Array) -> Array:
     return (out - out.mean()) / (out.std() + 1e-10)
 
 
+def preprocess_adaptive(U: Array, noise_type: str = "gaussian", noise_level: float = 0.1) -> Array:
+    """Adaptive denoising policy (notebook 08 cell 5 ``denoise_adaptive``):
+    escalate from temporal Savitzky-Golay to + light spatial Gaussian to + TV
+    as the (estimated) noise level grows; median-first for impulse noise."""
+    from pdx.ops.filters import savgol_time
+
+    if noise_type == "gaussian":
+        if noise_level <= 0.1:
+            return savgol_time(U, 5, 2)
+        if noise_level <= 0.5:
+            return gaussian_filter_reflect(savgol_time(U, 5, 2), 0.3)
+        from pdx.ops.filters import tv_denoise_curvature
+
+        out = gaussian_filter_reflect(savgol_time(U, 7, 2), 0.5)
+        return tv_denoise_curvature(out, weight=0.05, n_iter=2)
+    # impulse (salt & pepper) noise
+    if noise_level <= 0.1:
+        return median_filter_3x3(U)
+    out = median_filter_3x3(U)
+    return savgol_time(out, 5, 2)
+
+
+def poisson_noise_check(U: Array, n_bins: int = 20) -> dict[str, Array]:
+    """Photon-noise diagnostic (notebook 09's Poisson-noise check): bin pixels
+    by local mean intensity and regress local variance on mean. A slope ~ 1
+    (in photon units) indicates Poisson-dominated noise; ~ 0 indicates
+    additive Gaussian noise.
+
+    Local mean/variance come from the temporal axis (per-pixel statistics
+    over frames), which separates noise from static spatial structure.
+    """
+    mean_px = jnp.mean(U, axis=0).reshape(-1)
+    var_px = jnp.var(U, axis=0).reshape(-1)
+    lo, hi = jnp.quantile(mean_px, 0.02), jnp.quantile(mean_px, 0.98)
+    edges = jnp.linspace(lo, hi, n_bins + 1)
+    idx = jnp.clip(jnp.searchsorted(edges, mean_px) - 1, 0, n_bins - 1)
+    counts = jnp.zeros(n_bins).at[idx].add(1.0)
+    mean_bin = jnp.zeros(n_bins).at[idx].add(mean_px) / jnp.maximum(counts, 1)
+    var_bin = jnp.zeros(n_bins).at[idx].add(var_px) / jnp.maximum(counts, 1)
+    valid = counts > 10
+    x = jnp.where(valid, mean_bin, 0.0)
+    y = jnp.where(valid, var_bin, 0.0)
+    n = jnp.sum(valid)
+    xm = jnp.sum(x) / n
+    ym = jnp.sum(y) / n
+    cov = jnp.sum(jnp.where(valid, (x - xm) * (y - ym), 0.0))
+    varx = jnp.sum(jnp.where(valid, (x - xm) ** 2, 0.0))
+    slope = cov / (varx + 1e-30)
+    return {
+        "slope": slope,
+        "intercept": ym - slope * xm,
+        "mean_bins": mean_bin,
+        "var_bins": var_bin,
+        "bin_counts": counts,
+    }
+
+
 PREPROCESSORS = {
     "none": preprocess_none,
     "gaussian": preprocess_gaussian,
@@ -88,4 +145,5 @@ PREPROCESSORS = {
     "temporal": preprocess_temporal,
     "detrend": preprocess_detrend,
     "detrend_global": preprocess_detrend_global,
+    "adaptive": preprocess_adaptive,
 }

@@ -65,6 +65,20 @@ def make_rhs_reflect(names: list[str], coeffs: Array, dx: float, dy: float) -> C
     return rhs
 
 
+def make_rhs_fourth_order(names: list[str], coeffs: Array, dx: float, dy: float) -> Callable[[Array], Array]:
+    """Term-map RHS for the 25-term 4th-order extended library (notebook 02)."""
+    from pdx.library.dictionaries import fourth_order_term_fields
+
+    def rhs(u: Array) -> Array:
+        fields = fourth_order_term_fields(u, dx, dy)
+        out = jnp.zeros_like(u)
+        for name, c in zip(names, coeffs):
+            out = out + c * fields[name]
+        return out
+
+    return rhs
+
+
 def one_step_prediction_rmse(
     u_field: Array,
     ut_pred: Array,
