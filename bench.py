@@ -47,6 +47,20 @@ def main() -> None:
     worst_err = max(v["rel_err_pct"] for v in res["gt_errors"].values())
     assert worst_err < 1.0, f"recovery degraded: {res['gt_errors']}"
 
+    details = {
+        "ks2d_full_benchmark_seconds": elapsed,
+        "worst_gt_rel_err_pct": worst_err,
+        "stridge_fits_per_sec": _stridge_fits_per_sec(),
+    }
+    try:
+        import pathlib
+
+        out = pathlib.Path("outputs/bench_details.json")
+        out.parent.mkdir(parents=True, exist_ok=True)
+        out.write_text(json.dumps(details, indent=2))
+    except OSError:
+        pass
+
     print(
         json.dumps(
             {
@@ -57,6 +71,44 @@ def main() -> None:
             }
         )
     )
+
+
+def _stridge_fits_per_sec(n_fits: int = 8192, p: int = 9, n_rows: int = 2048) -> float:
+    """Tracked metric (BASELINE.json): batched STRidge fits/sec.
+
+    Each 'fit' is a full masked STRidge (25 threshold iterations of (p, p)
+    solves) on its own Gram statistics — the unit of work the reference does
+    per hyperparameter point / bootstrap member / patch.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pdx.ops.linalg import gram_stats
+    from pdx.solve.stridge import stridge_from_stats
+
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.normal(size=(n_fits, n_rows, p)), dtype=jnp.float32)
+    true = jnp.asarray(rng.normal(size=(n_fits, p)) * (rng.random((n_fits, p)) > 0.5), dtype=jnp.float32)
+    y = jnp.einsum("bnp,bp->bn", X, true)
+
+    @jax.jit
+    def fit_all(X, y):
+        def one(Xi, yi):
+            return stridge_from_stats(gram_stats(Xi, yi), alpha=1e-6, threshold=1e-3).coeffs
+
+        return jax.vmap(one)(X, y)
+
+    fit_all(X, y).block_until_ready()  # compile
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        out = fit_all(X, y)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+    return n_fits / dt
 
 
 if __name__ == "__main__":

@@ -396,25 +396,30 @@ def run(cfg: Ks2dBenchConfig) -> dict[str, Any]:
     rng = np.random.default_rng(0)  # reference: main:1470
     names, X_all, y_all = build_dataset(cfg, fr, rng)
 
-    # finite filter (host — matches reference boolean filtering; clean paths
-    # are all-finite so shapes stay static in practice)
-    Xn = np.asarray(X_all)
-    yn = np.asarray(y_all)
-    if cfg.method != "blockwise":
-        valid = np.isfinite(Xn).all(axis=1) & np.isfinite(yn)
-        Xn, yn = Xn[valid], yn[valid]
+    # finite filter (matches reference boolean filtering). Fast path: when
+    # every row is finite (all clean/noise configs), only a single scalar
+    # leaves the device and the split gather stays on-device; otherwise fall
+    # back to host filtering (row set must match the reference's exactly).
+    n_rows = int(X_all.shape[0])
+    all_finite = bool(jnp.isfinite(X_all).all() & jnp.isfinite(y_all).all())
+    if all_finite:
+        perm = rng.permutation(n_rows)  # same rng draw as the reference path
+        split = int(0.7 * n_rows)
+        tr = jnp.asarray(perm[:split])
+        te = jnp.asarray(perm[split:])
+        X_tr, y_tr = X_all[tr], y_all[tr]
+        X_te, y_te = X_all[te], y_all[te]
     else:
+        Xn = np.asarray(X_all)
+        yn = np.asarray(y_all)
         valid = np.isfinite(Xn).all(axis=1) & np.isfinite(yn)
         Xn, yn = Xn[valid], yn[valid]
-
-    # train/test split (main:1638-1643) — same rng continues
-    perm = rng.permutation(len(yn))
-    split = int(0.7 * len(yn))
-    tr, te = perm[:split], perm[split:]
-    X_tr = jnp.asarray(Xn[tr])
-    y_tr = jnp.asarray(yn[tr])
-    X_te = jnp.asarray(Xn[te])
-    y_te = jnp.asarray(yn[te])
+        perm = rng.permutation(len(yn))
+        split = int(0.7 * len(yn))
+        X_tr = jnp.asarray(Xn[perm[:split]])
+        y_tr = jnp.asarray(yn[perm[:split]])
+        X_te = jnp.asarray(Xn[perm[split:]])
+        y_te = jnp.asarray(yn[perm[split:]])
 
     coeffs, reg_info = run_regression(cfg, names, X_tr, y_tr, X_te, y_te)
     coeffs = jnp.asarray(coeffs)
