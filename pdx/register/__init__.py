@@ -18,6 +18,7 @@ from pdx.register.farneback import (
     farneback_flow_pairs,
 )
 from pdx.register.dis import dis_flow
+from pdx.register.tvl1 import tvl1_flow
 from pdx.register.ecc import ecc_align, ecc_warp, ecc_register_sequence
 from pdx.register.quality import mean_flow_magnitude, registration_improvement
 
@@ -30,6 +31,7 @@ __all__ = [
     "farneback_register_sequence",
     "farneback_flow_pairs",
     "dis_flow",
+    "tvl1_flow",
     "ecc_align",
     "ecc_warp",
     "ecc_register_sequence",

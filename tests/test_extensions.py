@@ -113,3 +113,23 @@ class TestResolutionCLI:
 
         rc = cmd_list_resolutions(["--data-dir", str(tmp_path)])
         assert rc == 1
+
+
+class TestProfiling:
+    def test_stage_timer(self, tmp_path):
+        import time as _time
+
+        from pdx.utils.profiling import StageTimer
+
+        t = StageTimer()
+        with t.stage("a"):
+            _time.sleep(0.01)
+        with t.stage("b"):
+            _time.sleep(0.005)
+        rep = t.report()
+        assert "a" in rep and "b" in rep and "total" in rep
+        assert t.stages["a"] >= 0.01
+        t.dump(tmp_path / "prof.json")
+        import json as _json
+
+        assert "a" in _json.loads((tmp_path / "prof.json").read_text())

@@ -177,3 +177,25 @@ class TestQuality:
         out = farneback_register_sequence(U)
         res = registration_improvement(U, out)
         assert float(res["improvement_pct"]) > 20.0
+
+
+class TestTVL1:
+    def test_translation(self):
+        from pdx.register import tvl1_flow
+
+        base = smooth_field(n=96, sigma=5, seed=20)
+        s = (1.5, -1.0)
+        mov = ndshift(base, s, mode="reflect")
+        fr, fc = tvl1_flow(jnp.asarray(base), jnp.asarray(mov))
+        m = slice(24, -24)
+        est = (float(np.median(np.asarray(fr)[m, m])), float(np.median(np.asarray(fc)[m, m])))
+        assert abs(est[0] - s[0]) < 0.4
+        assert abs(est[1] - s[1]) < 0.4
+
+    def test_zero_flow_on_identical(self):
+        from pdx.register import tvl1_flow
+
+        base = smooth_field(n=64, sigma=5, seed=21)
+        fr, fc = tvl1_flow(jnp.asarray(base), jnp.asarray(base))
+        assert np.abs(np.asarray(fr)).max() < 0.05
+        assert np.abs(np.asarray(fc)).max() < 0.05
