@@ -194,6 +194,7 @@ def _flow_iteration(exp1, exp2, flow, winsize, gaussian_win):
         "poly_n",
         "poly_sigma",
         "gaussian_win",
+        "refine",
     ),
 )
 def farneback_flow(
@@ -207,6 +208,7 @@ def farneback_flow(
     poly_n: int = 7,
     poly_sigma: float = 1.5,
     gaussian_win: bool = True,
+    refine: int = 2,
 ) -> tuple[Array, Array]:
     """Dense flow (flow_r, flow_c) such that img2(x + flow(x)) ~ img1(x).
 
@@ -214,6 +216,14 @@ def farneback_flow(
     (pde_discovery_improved_registration.py:66-79 / analyze_results.py:234).
     Sign convention matches cv2.calcOpticalFlowFarneback(prev=img1, next=img2):
     the flow maps points of img1 to img2.
+
+    ``refine``: extra re-warp refinement passes after the pyramid. The
+    classical expansion-fetch update converges to a biased fixed point
+    (~0.8x magnitude on translations; cv2 shows the same behavior at
+    ~0.9x). Re-expanding the *warped* second image resets the
+    linearization around a small residual displacement, where the quadratic
+    model is accurate — measured to lift translation recovery to ~0.98x.
+    Set refine=0 for strict cv2-equivalent behavior.
     """
     H, W = img1.shape[-2], img1.shape[-1]
     dtype = img1.dtype
@@ -253,7 +263,20 @@ def farneback_flow(
             fx, fy = _flow_iteration(exp1, exp2, (fx, fy), winsize, gaussian_win)
         flow = (fx, fy)
 
-    return flow
+    # re-warp refinement at full resolution
+    fx, fy = flow
+    for _ in range(int(refine)):
+        warped2 = warp_flow(img2, fx, fy, border="reflect")
+        exp1 = _poly_exp(img1, g1, x1, invG, n)
+        expw = _poly_exp(warped2, g1, x1, invG, n)
+        zx = jnp.zeros_like(fx)
+        dfx, dfy = zx, zx
+        for _ in range(2):
+            dfx, dfy = _flow_iteration(exp1, expw, (dfx, dfy), winsize, gaussian_win)
+        fx = fx + dfx
+        fy = fy + dfy
+
+    return fx, fy
 
 
 def farneback_register_sequence(

@@ -98,10 +98,10 @@ class TestFarneback:
         fr, fc = farneback_flow(jnp.asarray(base), jnp.asarray(mov))
         m = slice(30, -30)
         est = (float(np.median(np.asarray(fr)[m, m])), float(np.median(np.asarray(fc)[m, m])))
-        # Farnebäck systematically underestimates large shifts (cv2 shows the
-        # same fixed-point bias); require direction + >=70% magnitude
-        assert est[0] / s[0] > 0.7 and est[0] / s[0] < 1.2
-        assert est[1] / s[1] > 0.7 and est[1] / s[1] < 1.2
+        # with re-warp refinement (default refine=2) recovery reaches ~0.99x
+        # (cv2's expansion-fetch scheme plateaus at ~0.9x)
+        assert est[0] / s[0] > 0.9 and est[0] / s[0] < 1.1
+        assert est[1] / s[1] > 0.9 and est[1] / s[1] < 1.1
 
     def test_register_sequence_reduces_motion(self):
         base = smooth_field(n=96, sigma=6, seed=7)
