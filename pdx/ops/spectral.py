@@ -8,8 +8,6 @@ periodic Gaussian smoothing), batched over arbitrary leading axes via a single
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import Array

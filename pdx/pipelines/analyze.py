@@ -24,7 +24,7 @@ six models share one derivative computation; rollout curves are scan+vmap.
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Any
 

@@ -30,7 +30,7 @@ from pdx.ops.filters import gaussian_filter_reflect, savgol_time
 from pdx.ops.metrics import r2_score
 from pdx.ops.linalg import gram_stats
 from pdx.ops.interp import warp_flow
-from pdx.register.farneback import farneback_register_sequence, farneback_flow
+from pdx.register.farneback import farneback_register_sequence
 from pdx.register.dis import dis_flow
 from pdx.register.quality import registration_improvement
 from pdx.solve.stridge import stridge_from_stats

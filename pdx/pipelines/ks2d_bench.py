@@ -16,7 +16,7 @@ reference draw order for golden parity) and result formatting.
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any
 
 import numpy as np

@@ -35,7 +35,6 @@ from pdx.ops.linalg import gram_stats
 from pdx.register.farneback import farneback_register_sequence
 from pdx.library.localpoly import local_poly_derivatives_batch
 from pdx.solve.stridge import stridge_from_stats
-from pdx.validate.selection import patch_stability_aggregate
 
 FULL_TERMS = ["one", "u", "ux", "uy", "lap", "u2", "u_ux", "u_uy"]
 MODEL4_TERMS = ["one", "u", "ux", "uy", "lap", "u2"]

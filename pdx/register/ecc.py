@@ -21,8 +21,6 @@ program, vmappable over a batch of patch sequences.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import Array

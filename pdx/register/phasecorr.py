@@ -14,8 +14,6 @@ indexing, and center-origin unwrapping of the result.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import Array

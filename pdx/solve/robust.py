@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
-from pdx.ops.linalg import gram_stats, standardized_stats, masked_ridge_solve
+from pdx.ops.linalg import masked_ridge_solve
 
 
 def huber_weight(r: Array, delta: float = 1.35) -> Array:

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
-from pdx.ops.linalg import gram_stats, standardized_stats, masked_ridge_solve, ridge_solve
+from pdx.ops.linalg import gram_stats, standardized_stats, masked_ridge_solve
 
 
 @dataclass
