@@ -120,6 +120,9 @@ class Ks2dBenchConfig:
     rollout_steps: int = 50
     # numerics
     dtype: str = "float64"  # float64 requires jax x64; use float32 on TPU
+    solver: str = "auto"  # auto | gram | qr — 'auto': QR inner solves on f32
+    # backends (cond(X) vs cond(X)^2; rescues ill-conditioned rich
+    # dictionaries on TPU), Gram sufficient statistics on f64
 
 
 def _effective_noise_rel(cfg: Ks2dBenchConfig) -> float:
@@ -331,20 +334,48 @@ def run_regression(cfg: Ks2dBenchConfig, names, X_tr, y_tr, X_te, y_te):
             )
             robust_info = {"std": std_c}
             return mean_c
+        if use_qr:
+            from pdx.solve.stridge import stridge_qr
+
+            return stridge_qr(X_tr_s, y_tr, alpha=alpha, threshold=threshold, max_iter=25)
         # standard STRidge on sufficient statistics
         stats = gram_stats(X_tr_s, y_tr)
         return stridge_from_stats(stats, alpha=alpha, threshold=threshold, max_iter=25).coeffs
 
+    if cfg.solver == "qr":
+        use_qr = True
+    elif cfg.solver == "gram":
+        use_qr = False
+    else:
+        # auto: on f32 backends, pick QR only when the standardized Gram is
+        # ill-conditioned enough that normal equations lose accuracy
+        # (cond(G) * eps_f32 would exceed ~1e-3 coefficient error). The cond
+        # estimate costs one (p, p) eigendecomposition.
+        use_qr = False
+        if jnp.dtype(cfg.dtype) != jnp.float64:
+            from pdx.ops.linalg import standardized_stats
+
+            Gs_probe, _, _, _ = standardized_stats(gram_stats(X_tr_s, y_tr))
+            cond = float(jnp.linalg.cond(Gs_probe.astype(jnp.float32)))
+            use_qr = cond > 1e4
+
     if cfg.grid_search and cfg.regression == "standard" and not cfg.robust:
         # batched grid: one device dispatch for all 30 hyperparameter points,
         # metrics computed on device, one host transfer for the tiny selection
-        coeffs_np, r2_np, rmse_np, nact_np = [
-            np.asarray(v)
-            for v in _grid_solve_and_score(
+        if use_qr:
+            from pdx.solve.stridge import _grid_solve_qr
+
+            grid_out = _grid_solve_qr(
+                X_tr_s, y_tr, X_te, y_te, scale,
+                jnp.asarray(GRID_ALPHAS, X_tr.dtype), jnp.asarray(GRID_THRESHOLDS, X_tr.dtype),
+                25,
+            )
+        else:
+            grid_out = _grid_solve_and_score(
                 X_tr_s, y_tr, X_te, y_te, scale,
                 jnp.asarray(GRID_ALPHAS, X_tr.dtype), jnp.asarray(GRID_THRESHOLDS, X_tr.dtype),
             )
-        ]
+        coeffs_np, r2_np, rmse_np, nact_np = [np.asarray(v) for v in grid_out]
         best = None
         for ai, a in enumerate(GRID_ALPHAS):
             for ti, t in enumerate(GRID_THRESHOLDS):

@@ -90,6 +90,82 @@ def stridge(
     return stridge_from_stats(stats, alpha=alpha, threshold=threshold, max_iter=max_iter).coeffs
 
 
+# ---------------------------------------------------------------------------
+# QR-based STRidge: identical algorithm, data-matrix solves
+# ---------------------------------------------------------------------------
+
+
+def _masked_ridge_qr(Xs: Array, y: Array, mask: Array, alpha) -> Array:
+    """Ridge solve on the active support via QR of the augmented matrix
+    [X*m ; sqrt(alpha) diag(m) + diag(1-m)] — same minimizer as the Gram
+    path but conditioned as cond(X) instead of cond(X)^2. The f32 answer on
+    an ill-conditioned dictionary (e.g. the 9-term rich KS library) matches
+    the f64 Gram solve to ~1e-5 where the f32 Gram path loses percent-level
+    accuracy (SURVEY §7.4 risk)."""
+    n, p = Xs.shape
+    m = mask.astype(Xs.dtype)
+    Xm = Xs * m[None, :]
+    sqrt_a = jnp.sqrt(jnp.asarray(alpha, Xs.dtype))
+    aug = sqrt_a * jnp.eye(p, dtype=Xs.dtype) * m[None, :] + jnp.eye(p, dtype=Xs.dtype) * (1.0 - m)[None, :]
+    A = jnp.concatenate([Xm, aug], axis=0)
+    b = jnp.concatenate([y, jnp.zeros((p,), Xs.dtype)])
+    Q, R = jnp.linalg.qr(A)
+    sol = jax.scipy.linalg.solve_triangular(R, Q.T @ b, lower=False)
+    return sol * m
+
+
+def stridge_qr(
+    X: Array,
+    y: Array,
+    *,
+    alpha: float | Array = 1e-3,
+    threshold: float | Array = 1e-6,
+    max_iter: int = 25,
+) -> Array:
+    """STRidge with QR inner solves (reference algorithm, better f32
+    conditioning). Returns unscaled coefficients."""
+    mean = jnp.mean(X, axis=0)
+    std = jnp.std(X, axis=0)
+    scale = jnp.where(std > 0, std, 1.0)
+    Xs = (X - mean) / scale
+
+    def solve_fn(m):
+        return _masked_ridge_qr(Xs, y, m, alpha)
+
+    p = X.shape[1]
+    mask0 = jnp.ones((p,), dtype=X.dtype)
+    c0 = solve_fn(mask0)
+
+    def body(_, state):
+        c, m = state
+        small = jnp.abs(c) < threshold
+        all_small = jnp.all(small | (m <= 0))
+        m_new = jnp.where(all_small, jnp.zeros_like(m), m * (~small).astype(m.dtype))
+        return solve_fn(m_new), m_new
+
+    c, _m = jax.lax.fori_loop(0, max_iter, body, (c0, mask0))
+    return c / (scale + 1e-12)
+
+
+@partial(jax.jit, static_argnames=("max_iter",))
+def _grid_solve_qr(X, y, X_te, y_te, rms_scale, alphas, thresholds, max_iter):
+    """QR grid sweep + device-side test metrics (f32-accurate twin of
+    _grid_solve_and_score in the ks2d pipeline)."""
+
+    def solve_one(a, t):
+        return stridge_qr(X, y, alpha=a, threshold=t, max_iter=max_iter)
+
+    f_t = jax.vmap(solve_one, in_axes=(None, 0))
+    coeffs = jax.vmap(f_t, in_axes=(0, None))(alphas, thresholds) / rms_scale
+    preds = jnp.einsum("atp,np->atn", coeffs, X_te)
+    resid2 = jnp.sum((preds - y_te[None, None, :]) ** 2, axis=-1)
+    sst = jnp.sum((y_te - jnp.mean(y_te)) ** 2)
+    r2 = 1.0 - resid2 / (sst + 1e-18)
+    err = jnp.sqrt(resid2 / y_te.shape[0])
+    n_active = jnp.sum(jnp.abs(coeffs) > 0, axis=-1)
+    return coeffs, r2, err, n_active
+
+
 @partial(jax.jit, static_argnames=("max_iter",))
 def _grid_solve(Gs, bs, scale, alphas, thresholds, max_iter):
     def solve_one(a, t):

@@ -154,3 +154,36 @@ class TestLasso:
             w, b = lasso_ista(jnp.asarray(X), jnp.asarray(y), alpha, max_iter=5000)
             np.testing.assert_allclose(np.asarray(w), ref.coef_, atol=2e-4)
             assert abs(float(b) - ref.intercept_) < 2e-4
+
+
+class TestStridgeQR:
+    def test_matches_gram_path_f64(self):
+        from pdx.solve.stridge import stridge_qr
+
+        X, y, _ = make_problem()
+        for alpha, thr in ((1e-3, 1e-6), (1e-6, 0.05)):
+            want = oracle.stridge(X, y, alpha=alpha, threshold=thr)
+            got = np.asarray(stridge_qr(jnp.asarray(X), jnp.asarray(y), alpha=alpha, threshold=thr))
+            np.testing.assert_allclose(got, want, rtol=1e-7, atol=1e-9)
+
+    def test_f32_accuracy_on_illconditioned(self):
+        """On an ill-conditioned dictionary (collinear columns of wildly
+        different scales) the f32 QR path must stay accurate where the f32
+        Gram path loses percent-level accuracy (SURVEY §7.4 risk)."""
+        from pdx.solve.stridge import stridge_qr, stridge
+
+        rng = np.random.default_rng(0)
+        n = 20000
+        base = rng.normal(size=n)
+        X = np.stack(
+            [base, base + 1e-3 * rng.normal(size=n), rng.normal(size=n) * 100.0, np.ones(n)],
+            axis=1,
+        )
+        true = np.array([2.0, 0.0, 0.03, 0.0])
+        y = X @ true
+        want = oracle.stridge(X, y, alpha=1e-8, threshold=1e-4)
+        got32 = np.asarray(
+            stridge_qr(jnp.asarray(X, jnp.float32), jnp.asarray(y, jnp.float32), alpha=1e-8, threshold=1e-4)
+        )
+        # f32 QR within 1e-2 of the f64 oracle on cond ~ 1e6 data
+        np.testing.assert_allclose(got32, want, atol=2e-2)
