@@ -147,6 +147,18 @@ def tv_denoise(f: Array, weight: float = 0.1, n_iter: int = 50) -> Array:
     return out
 
 
+def gaussian_filter3d_reflect(U: Array, sigma_t: float, sigma_s: float, truncate: float = 4.0) -> Array:
+    """Separable 3-D (t, y, x) Gaussian with scipy-compatible reflect borders
+    (notebook 09's 3-D denoising: scipy gaussian_filter with a
+    (sigma_t, sigma_s, sigma_s) tuple)."""
+    out = U
+    if sigma_t > 0:
+        out = gaussian_filter1d_reflect(out, sigma_t, axis=0, truncate=truncate)
+    if sigma_s > 0:
+        out = gaussian_filter_reflect(out, sigma_s, truncate=truncate)
+    return out
+
+
 def tv_denoise_curvature(f: Array, weight: float = 0.05, n_iter: int = 3) -> Array:
     """Curvature-flow TV variant (notebook 08 ``denoise_total_variation``):
     iterate img += weight * div(grad img / |grad img|) with np.gradient

@@ -59,11 +59,24 @@ def standardized_stats(stats: dict[str, Array]) -> tuple[Array, Array, Array, Ar
     mean = sx / n
     var = jnp.diagonal(G, axis1=-2, axis2=-1) / n - mean**2
     std = jnp.sqrt(jnp.maximum(var, 0.0))
-    scale = jnp.where(std > 0, std, 1.0)
+    scale = jnp.where(std > _zero_std_tol(mean, std.dtype), std, 1.0)
     Gc = G - n * mean[..., :, None] * mean[..., None, :]
     Gs = Gc / (scale[..., :, None] * scale[..., None, :])
     bs = (b - mean * sy) / scale
     return Gs, bs, mean, scale
+
+
+def _zero_std_tol(mean: Array, dtype) -> Array:
+    """Relative zero-variance cutoff for column standardization.
+
+    NumPy's pairwise summation gives std(ones) == 0 exactly, so the
+    reference's ``std > 0`` guard works; XLA's reduction order can leave
+    O(eps) residual std on exactly-constant columns (measured 1.1e-16 on a
+    ones column), and dividing coefficients by that residual blows them up
+    by ~1e16. Treat std below ~sqrt(eps) relative to the column magnitude
+    as zero variance."""
+    eps = jnp.finfo(dtype).eps
+    return jnp.sqrt(eps) * jnp.maximum(jnp.abs(mean), 1.0) * 10.0
 
 
 def ridge_solve(G: Array, b: Array, alpha: float | Array) -> Array:
@@ -102,7 +115,7 @@ def column_standardize_stats(X: Array) -> tuple[Array, Array]:
     """
     mean = jnp.mean(X, axis=0)
     std = jnp.std(X, axis=0)
-    scale = jnp.where(std > 0, std, 1.0)
+    scale = jnp.where(std > _zero_std_tol(mean, std.dtype), std, 1.0)
     return mean, scale
 
 

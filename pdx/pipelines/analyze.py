@@ -416,13 +416,17 @@ def _spatial_holdout(cfg, fields, u_t, u, model_key, mh, mw, axis) -> dict:
     sm3 = jnp.broadcast_to(test_m, u_t.shape).reshape(-1)
     # static-shape weighted fit on the train region
     w_train = tm3.astype(Xf.dtype)
-    coeffs = (
-        robust_stridge(Xf, yf, alpha=cfg.alpha, threshold=cfg.threshold, max_iter=20)[0]
-        if cfg.robust_regression
-        else stridge_from_stats(
+    if cfg.robust_regression:
+        # robust path needs materialized rows (per-row residual medians);
+        # the region mask is host-static so the gather keeps static shapes
+        idx = jnp.asarray(np.nonzero(np.asarray(tm3))[0])
+        coeffs = robust_stridge(
+            Xf[idx], yf[idx], alpha=cfg.alpha, threshold=cfg.threshold, max_iter=20
+        )[0]
+    else:
+        coeffs = stridge_from_stats(
             gram_stats(Xf, yf, weights=w_train), alpha=cfg.alpha, threshold=cfg.threshold, max_iter=20
         ).coeffs
-    )
     y_pred = Xf @ coeffs
 
     def masked_metrics(mask):

@@ -51,7 +51,7 @@ class PatchSindyConfig:
     subsample: int = 4
     alpha: float = 0.01
     min_patches: int = 5
-    registration_method: str = "none"  # none | ecc
+    registration_method: str = "none"  # none | ecc | optical_flow
     max_patches: int | None = None
     var_suppress_factor: float = 2.0
     dtype: str = "float64"
@@ -159,6 +159,26 @@ def run(cfg: PatchSindyConfig, U_raw: np.ndarray | None = None) -> dict[str, Any
             return out, jnp.mean(ccs)
 
         seqs, qualities = jax.vmap(reg_one)(seqs)
+    elif cfg.registration_method == "optical_flow":
+        # per-patch warp-to-previous Farnebäck, quality = 1/(1 + mean |flow|)
+        # (patch_based_sindy.py:198-221)
+        from pdx.register.farneback import farneback_flow
+        from pdx.ops.interp import warp_flow
+
+        def reg_one(seq):
+            def step(ref, mov):
+                fx, fy = farneback_flow(
+                    ref, mov, levels=3, winsize=15, iterations=5, poly_n=7,
+                    poly_sigma=1.5, gaussian_win=False,
+                )
+                warped = warp_flow(mov, fx, fy, border="reflect")
+                mag = jnp.mean(jnp.sqrt(fx**2 + fy**2))
+                return warped, (warped, 1.0 / (mag + 1.0))
+
+            _, (out, q) = jax.lax.scan(step, seq[0], seq[1:])
+            return jnp.concatenate([seq[:1], out], axis=0), jnp.mean(q)
+
+        seqs, qualities = jax.vmap(reg_one)(seqs)
     else:
         qualities = jnp.ones((P,), dtype=dtype)
 
@@ -208,7 +228,7 @@ def cmd_patch_sindy(argv: list[str]) -> int:
     parser.add_argument("--max-images", type=int, default=None)
     parser.add_argument("--patch-size", type=int, default=256)
     parser.add_argument("--overlap", type=int, default=64)
-    parser.add_argument("--registration", choices=["none", "ecc"], default="none")
+    parser.add_argument("--registration", choices=["none", "ecc", "optical_flow"], default="none")
     parser.add_argument("--max-patches", type=int, default=None)
     args = parser.parse_args(argv)
     out = run(

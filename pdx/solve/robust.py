@@ -84,9 +84,11 @@ def irls_huber(
 
 
 def _standardize_data(X: Array) -> tuple[Array, Array, Array]:
+    from pdx.ops.linalg import _zero_std_tol
+
     mean = jnp.mean(X, axis=0)
     std = jnp.std(X, axis=0)
-    scale = jnp.where(std > 0, std, 1.0)
+    scale = jnp.where(std > _zero_std_tol(mean, std.dtype), std, 1.0)
     return (X - mean) / scale, mean, scale
 
 

@@ -124,9 +124,11 @@ def stridge_qr(
 ) -> Array:
     """STRidge with QR inner solves (reference algorithm, better f32
     conditioning). Returns unscaled coefficients."""
+    from pdx.ops.linalg import _zero_std_tol
+
     mean = jnp.mean(X, axis=0)
     std = jnp.std(X, axis=0)
-    scale = jnp.where(std > 0, std, 1.0)
+    scale = jnp.where(std > _zero_std_tol(mean, std.dtype), std, 1.0)
     Xs = (X - mean) / scale
 
     def solve_fn(m):

@@ -232,3 +232,16 @@ class TestMetrics:
         ss_res = np.sum((y - yp) ** 2)
         ss_tot = np.sum((y - y.mean()) ** 2)
         assert np.isclose(float(r2_score(jnp.asarray(y), jnp.asarray(yp))), 1 - ss_res / (ss_tot + 1e-18))
+
+
+class TestGaussian3D:
+    def test_matches_scipy_tuple_sigma(self):
+        from scipy.ndimage import gaussian_filter as sgf
+        from pdx.ops.filters import gaussian_filter3d_reflect
+
+        rng = np.random.default_rng(30)
+        U = rng.normal(size=(12, 20, 22))
+        for st, ss in ((1.0, 0.8), (2.0, 1.5)):
+            want = sgf(U, sigma=(st, ss, ss))
+            got = gaussian_filter3d_reflect(jnp.asarray(U), st, ss)
+            np.testing.assert_allclose(got, want, atol=1e-10)

@@ -187,3 +187,26 @@ class TestStridgeQR:
         )
         # f32 QR within 1e-2 of the f64 oracle on cond ~ 1e6 data
         np.testing.assert_allclose(got32, want, atol=2e-2)
+
+
+class TestConstantColumn:
+    def test_constant_column_does_not_blow_up(self):
+        """XLA's std of an exactly-constant column can be O(eps) instead of 0;
+        without a relative tolerance the final unscale divides by ~1e-16 and
+        coefficients explode (observed 2.4e8 on a real pipeline). All
+        standardize paths must treat near-zero std as zero variance."""
+        from pdx.solve.stridge import stridge_qr
+        from pdx.solve.robust import robust_stridge
+
+        rng = np.random.default_rng(0)
+        n = 3000
+        X = np.column_stack([np.ones(n), rng.normal(size=n), rng.normal(size=n) * 10])
+        y = X @ np.array([0.0, 2.0, 0.05]) + 1e-3 * rng.normal(size=n)
+        for fit in (
+            lambda: stridge(jnp.asarray(X), jnp.asarray(y), alpha=0.01, threshold=1e-5),
+            lambda: stridge_qr(jnp.asarray(X), jnp.asarray(y), alpha=0.01, threshold=1e-5),
+            lambda: robust_stridge(jnp.asarray(X), jnp.asarray(y), alpha=0.01, threshold=1e-5, n_bootstrap=6)[0],
+        ):
+            c = np.asarray(fit())
+            assert np.abs(c).max() < 10, c
+            np.testing.assert_allclose(c[1:], [2.0, 0.05], atol=0.01)
