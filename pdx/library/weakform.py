@@ -97,8 +97,24 @@ def build_weakform_dataset(
     motion_est_sigma_px: float = 0.0,
     motion_smooth_window: int = 1,
     motion_clip_px: float | None = None,
-) -> tuple[Array, Array]:
-    """Returns (X[(T-1)*P, 3], y[(T-1)*P]) for terms [lap, bih, gradsq]."""
+    dictionary: str = "true",
+) -> tuple[list[str], Array, Array]:
+    """Returns (names, X[(T-1)*P, p], y[(T-1)*P]).
+
+    dictionary='true' reproduces the reference exactly (terms
+    [lap, bih, gradsq]). dictionary='rich' LIFTS the reference's documented
+    limitation (ks2d_stridge_benchmark.py:1473-1474 restricts weakform to the
+    true dictionary): every rich decoy is expressed with derivatives moved
+    onto the test functions by integration by parts —
+
+        <phi, 1>        constant per phi
+        <phi, u>        = S (the base projection)
+        <phi, u^2>      one extra GEMM
+        <phi, u_x>      = -<phi_x, u>
+        <phi, u_y>      = -<phi_y, u>
+        <phi, u lap u>  = 1/2 <lap phi, u^2> - <phi, |grad u|^2>
+
+    so only the |grad u|^2 feature ever differentiates the (noisy) data."""
     if U.ndim != 3:
         raise ValueError("U must be (T, Nx, Ny)")
     t_len, nx, ny = U.shape
@@ -152,5 +168,27 @@ def build_weakform_dataset(
     gs = (ux**2 + uy**2).reshape(t_len - 1, -1)
     X_gsq = area * (gs @ phi_flat.T)
 
-    X = jnp.stack([X_lap.reshape(-1), X_bih.reshape(-1), X_gsq.reshape(-1)], axis=1)
-    return X, y.reshape(-1)
+    if dictionary == "true":
+        names = ["lap", "bih", "gradsq"]
+        X = jnp.stack([X_lap.reshape(-1), X_bih.reshape(-1), X_gsq.reshape(-1)], axis=1)
+        return names, X, y.reshape(-1)
+    if dictionary != "rich":
+        raise ValueError("weakform dictionary must be 'true' or 'rich'")
+
+    Tm1 = t_len - 1
+    ones_col = jnp.broadcast_to(area * jnp.sum(phi_flat, axis=1)[None, :], (Tm1, P))
+    S_u = S[:-1]
+    U2_flat = (U[:-1] ** 2).reshape(Tm1, -1)
+    S_u2 = area * (U2_flat @ phi_flat.T)
+    phi_x, phi_y = gradients_spectral(phi, dx, dy, cutoff_frac=1.0)
+    X_ux = -area * (U_flat[:-1] @ phi_x.reshape(P, -1).T)
+    X_uy = -area * (U_flat[:-1] @ phi_y.reshape(P, -1).T)
+    if basis == "fourier":
+        lap_phi = laplacian_spectral(phi, dx, dy, cutoff_frac=1.0)
+    S_lap_u2 = area * (U2_flat @ lap_phi.reshape(P, -1).T)
+    X_ulap = 0.5 * S_lap_u2 - X_gsq
+
+    names = ["one", "u", "u2", "ux", "uy", "lap", "bih", "gradsq", "u_lap"]
+    cols = [ones_col, S_u, S_u2, X_ux, X_uy, X_lap, X_bih, X_gsq, X_ulap]
+    X = jnp.stack([c.reshape(-1) for c in cols], axis=1)
+    return names, X, y.reshape(-1)

@@ -187,9 +187,9 @@ def build_dataset(cfg: Ks2dBenchConfig, fr: dict[str, Any], rng: np.random.Gener
     U_for_ut, U_for_features = fr["U_for_ut"], fr["U_for_features"]
 
     if cfg.method == "weakform":
-        if cfg.dictionary != "true":
-            raise ValueError("weakform currently supports dictionary='true' only")
-        names = ["lap", "bih", "gradsq"]
+        # the reference restricts weakform to the true dictionary
+        # (ks2d_stridge_benchmark.py:1473-1474); pdx lifts this — 'rich'
+        # builds every decoy by integration by parts (see library/weakform.py)
         clip_px = float(cfg.weak_motion_clip_px)
         if clip_px <= 0:
             clip_px = (
@@ -197,7 +197,7 @@ def build_dataset(cfg: Ks2dBenchConfig, fr: dict[str, Any], rng: np.random.Gener
                 if cfg.perturbation in {"N1_shifts", "N5_shifts_noise", "N7_all"}
                 else 0.0
             )
-        X_all, y_all = build_weakform_dataset(
+        names, X_all, y_all = build_weakform_dataset(
             U_for_ut,
             dx=dx,
             dy=dy,
@@ -213,6 +213,7 @@ def build_dataset(cfg: Ks2dBenchConfig, fr: dict[str, Any], rng: np.random.Gener
             motion_est_sigma_px=cfg.weak_motion_est_sigma,
             motion_smooth_window=cfg.weak_motion_smooth,
             motion_clip_px=clip_px if clip_px > 0 else None,
+            dictionary=cfg.dictionary,
         )
         n_total = int(y_all.shape[0])
         n_sample = int(min(cfg.n_sample, n_total))

@@ -131,3 +131,33 @@ class TestCleanRecovery:
         golden = {"lap": -1.078219, "bih": -2.242636, "gradsq": -0.152420}
         for key, want in golden.items():
             assert abs(res["gt_errors"][key]["est"] - want) < 1e-5, res["gt_errors"]
+
+
+class TestWeakformRich:
+    def test_rich_weakform_recovers_true_terms(self):
+        """pdx extension: weak form over the RICH dictionary (the reference
+        only supports the true terms) — decoys built by integration by parts.
+        On clean data the true terms should dominate with decoys near zero."""
+        cfg = Ks2dBenchConfig(**SMALL, method="weakform", weak_basis="fourier",
+                              dictionary="rich", n_sample=50_000,
+                              alpha=1e-6, threshold=1e-3)
+        res = run(cfg)
+        assert res["names"] == ["one", "u", "u2", "ux", "uy", "lap", "bih", "gradsq", "u_lap"]
+        # The dominant linear terms are identifiable; |grad u|^2 vs u*lap(u)
+        # are strongly collinear in weak space at this resolution (the TRUE
+        # dictionary's weak form already shows 72% gradsq error here), so
+        # only the well-posed terms are asserted.
+        assert res["gt_errors"]["lap"]["rel_err_pct"] < 5.0, res["gt_errors"]
+        assert res["gt_errors"]["bih"]["rel_err_pct"] < 20.0, res["gt_errors"]
+        coeffs = dict(zip(res["names"], res["coeffs"]))
+        for decoy in ("one", "u", "ux", "uy"):
+            assert abs(coeffs[decoy]) < 0.1, coeffs
+        assert res["fit"]["test_r2"] > 0.9
+
+    def test_rich_weakform_gaussian_basis(self):
+        cfg = Ks2dBenchConfig(**SMALL, method="weakform", weak_basis="gaussian",
+                              dictionary="rich", n_sample=50_000,
+                              alpha=1e-6, threshold=1e-3)
+        res = run(cfg)
+        assert np.isfinite(res["fit"]["test_r2"])
+        assert res["gt_errors"]["lap"]["rel_err_pct"] < 25.0, res["gt_errors"]
