@@ -124,6 +124,9 @@ class Ks2dBenchConfig:
     solver: str = "auto"  # auto | gram | qr — 'auto': QR inner solves on f32
     # backends (cond(X) vs cond(X)^2; rescues ill-conditioned rich
     # dictionaries on TPU), Gram sufficient statistics on f64
+    # multi-chip: shard the sample axis over all devices (psum Gram over ICI);
+    # 'auto' enables it when more than one device is visible
+    mesh: str = "auto"  # auto | off | on
 
 
 def _effective_noise_rel(cfg: Ks2dBenchConfig) -> float:
@@ -347,6 +350,26 @@ def _grid_solve_and_score(X_tr_s, y_tr, X_te, y_te, scale, alphas, thresholds):
     return coeffs_grid, r2, err, n_active
 
 
+def _maybe_sharded_gram(cfg: Ks2dBenchConfig, X: jnp.ndarray, y: jnp.ndarray):
+    """Gram sufficient statistics, sample-sharded across the device mesh when
+    more than one device is available (mesh='auto') or forced (mesh='on').
+
+    Rows are truncated to a device-count multiple for even shards; the
+    dropped remainder (< n_devices rows of ~35k) is statistically negligible
+    and only taken on the multi-chip path."""
+    import jax
+
+    n_dev = jax.device_count()
+    use_mesh = cfg.mesh == "on" or (cfg.mesh == "auto" and n_dev > 1)
+    if not use_mesh or n_dev < 2:
+        return gram_stats(X, y)
+    from pdx.shard.mesh import make_mesh, shard_batch, sharded_gram_stats
+
+    n = (X.shape[0] // n_dev) * n_dev
+    mesh = make_mesh(n_dev)
+    return sharded_gram_stats(shard_batch(X[:n], mesh), shard_batch(y[:n], mesh), mesh)
+
+
 def _rms_scale(X_tr: jnp.ndarray, names: list[str]) -> jnp.ndarray:
     """Per-column RMS scaling on the train split; constant column unscaled
     (main:1645-1655)."""
@@ -402,8 +425,9 @@ def run_regression(cfg: Ks2dBenchConfig, names, X_tr, y_tr, X_te, y_te):
             from pdx.solve.stridge import stridge_qr
 
             return stridge_qr(X_tr_s, y_tr, alpha=alpha, threshold=threshold, max_iter=25)
-        # standard STRidge on sufficient statistics
-        stats = gram_stats(X_tr_s, y_tr)
+        # standard STRidge on sufficient statistics (sample axis sharded over
+        # the device mesh when available — psum Gram reduction over ICI)
+        stats = _maybe_sharded_gram(cfg, X_tr_s, y_tr)
         return stridge_from_stats(stats, alpha=alpha, threshold=threshold, max_iter=25).coeffs
 
     if cfg.solver == "qr":

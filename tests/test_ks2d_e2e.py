@@ -161,3 +161,64 @@ class TestWeakformRich:
         res = run(cfg)
         assert np.isfinite(res["fit"]["test_r2"])
         assert res["gt_errors"]["lap"]["rel_err_pct"] < 25.0, res["gt_errors"]
+
+
+class TestConfigPaths:
+    """Smoke coverage for the less-traveled config combinations."""
+
+    def test_stabilize_plus_sign_constraints_blockwise(self):
+        cfg = Ks2dBenchConfig(
+            Nx=32, Ny=32, n_seconds=0.2, dt=1e-3,
+            perturbation="N5_shifts_noise", shift_mode="jitter", shift_max=1.0,
+            stabilize_shifts=True, method="blockwise",
+            regression="sign_constrained", sign_constraints=(-1, -1, -1),
+        )
+        res = run(cfg)
+        # sign constraints: no positive coefficients survive
+        assert all(c <= 0 for c in res["coeffs"]), res["coeffs"]
+        assert np.isfinite(res["rollout"]["mean"])
+
+    def test_correct_shift_ut_path(self):
+        cfg = Ks2dBenchConfig(
+            Nx=32, Ny=32, n_seconds=0.2, dt=1e-3,
+            perturbation="N1_shifts", shift_mode="jitter", shift_max=0.8,
+            correct_shift_ut=True,
+        )
+        res = run(cfg)
+        assert np.isfinite(res["fit"]["test_r2"])
+
+    def test_weak_motion_correct_path(self):
+        cfg = Ks2dBenchConfig(
+            Nx=32, Ny=32, n_seconds=0.2, dt=1e-3,
+            perturbation="N1_shifts", shift_mode="jitter", shift_max=0.8,
+            method="weakform", weak_basis="fourier", weak_motion_correct=True,
+        )
+        res = run(cfg)
+        assert np.isfinite(res["fit"]["test_r2"])
+
+    def test_denoise_paths(self):
+        for kwargs in (
+            dict(denoise_time_window=3),
+            dict(denoise_space_sigma=1.0),
+            dict(denoise_space_sigma=1.0, denoise_space_on="all"),
+        ):
+            cfg = Ks2dBenchConfig(Nx=32, Ny=32, n_seconds=0.1, dt=1e-3,
+                                  perturbation="N2_noise", noise_rel=0.02, **kwargs)
+            res = run(cfg)
+            assert np.isfinite(res["fit"]["test_r2"]), kwargs
+
+    def test_huber_trimmed_ensemble_regressions(self):
+        for reg in ("huber", "trimmed", "ensemble"):
+            cfg = Ks2dBenchConfig(Nx=24, Ny=24, n_seconds=0.1, dt=1e-3,
+                                  n_sample=3_000, regression=reg, n_bootstrap=5,
+                                  alpha=1e-6, threshold=1e-6)
+            res = run(cfg)
+            assert res["gt_errors"]["lap"]["rel_err_pct"] < 10.0, (reg, res["gt_errors"])
+
+    def test_robust_pipeline_config(self):
+        cfg = Ks2dBenchConfig(Nx=24, Ny=24, n_seconds=0.1, dt=1e-3,
+                              n_sample=3_000, robust=True, n_bootstrap=5,
+                              sign_constraints=(-1, -1, -1),
+                              alpha=1e-6, threshold=1e-6)
+        res = run(cfg)
+        assert res["gt_errors"]["lap"]["rel_err_pct"] < 10.0, res["gt_errors"]

@@ -62,3 +62,19 @@ class TestGraftEntry:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+
+class TestPipelineMesh:
+    def test_ks2d_bench_sharded_gram(self):
+        """ks2d pipeline with mesh='on' on the 8-device virtual mesh: the
+        sample-sharded psum Gram path must reproduce the single-device fit."""
+        from pdx.pipelines.ks2d_bench import Ks2dBenchConfig, run
+
+        common = dict(Nx=32, Ny=32, n_seconds=0.1, dt=1e-3, n_sample=5_000,
+                      alpha=1e-6, threshold=1e-10, solver="gram")
+        r_single = run(Ks2dBenchConfig(**common, mesh="off"))
+        r_mesh = run(Ks2dBenchConfig(**common, mesh="on"))
+        # shards drop <8 remainder rows, so allow tiny numerical drift
+        np.testing.assert_allclose(r_mesh["coeffs"], r_single["coeffs"], rtol=1e-3, atol=1e-6)
+        for k in r_single["gt_errors"]:
+            assert r_mesh["gt_errors"][k]["rel_err_pct"] < 1.0
