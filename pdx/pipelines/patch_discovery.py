@@ -165,24 +165,29 @@ def run(cfg: PatchDiscoveryConfig, U_raw: np.ndarray | None = None) -> dict[str,
     d_tr = lp(train_pts).reshape(P, n_s, 6)
     d_te = lp(test_pts).reshape(P, n_te, 6)
 
-    def patch_fit(dtr, dte):
-        X_tr = feature_matrix(dtr, names)
-        y_tr = dtr[:, 1]
-        X_te = feature_matrix(dte, names)
-        y_te = dte[:, 1]
-        c = stridge_from_stats(
-            gram_stats(X_tr, y_tr), alpha=cfg.alpha, threshold=cfg.threshold, max_iter=25
-        ).coeffs
-        return c, X_tr @ c, y_tr, X_te @ c, y_te
+    @jax.jit
+    def all_patches(d_tr, d_te):
+        def patch_fit(dtr, dte):
+            X_tr = feature_matrix(dtr, names)
+            y_tr = dtr[:, 1]
+            X_te = feature_matrix(dte, names)
+            y_te = dte[:, 1]
+            c = stridge_from_stats(
+                gram_stats(X_tr, y_tr), alpha=cfg.alpha, threshold=cfg.threshold, max_iter=25
+            ).coeffs
+            m_tr = regression_metrics(y_tr, X_tr @ c)
+            m_te = regression_metrics(y_te, X_te @ c)
+            return c, m_tr, m_te
 
-    coeffs, yp_tr, y_tr, yp_te, y_te = jax.vmap(patch_fit)(d_tr, d_te)
+        return jax.vmap(patch_fit)(d_tr, d_te)
+
+    coeffs, m_tr_v, m_te_v = all_patches(d_tr, d_te)
     C = np.asarray(coeffs)  # (P, p)
-
     patch_train_metrics = [
-        {k: float(v) for k, v in regression_metrics(y_tr[i], yp_tr[i]).items()} for i in range(P)
+        {k: float(np.asarray(v)[i]) for k, v in m_tr_v.items()} for i in range(P)
     ]
     patch_test_metrics = [
-        {k: float(v) for k, v in regression_metrics(y_te[i], yp_te[i]).items()} for i in range(P)
+        {k: float(np.asarray(v)[i]) for k, v in m_te_v.items()} for i in range(P)
     ]
 
     # --- stability aggregation (reference :434-443 uses plain median, not

@@ -302,21 +302,38 @@ def farneback_register_sequence(
     pairs (verified against cv2: rmse 0.042 -> 0.077 with '-', -> 0.004 with
     '+'). warp_sign=-1.0 reproduces the reference behavior for parity
     studies; the default fixes it (SURVEY §7.5: fix, don't copy).
+
+    Execution note: this is a host-driven chain of per-frame jitted programs,
+    NOT a lax.scan/vmap — TPU lowers the pyramid's batched gathers inside
+    scan/vmap ~100-400x slower than the single-example program (measured:
+    50 sequential jitted 512^2 flows = 0.02 s vs 3.8 s scanned / 8.2 s
+    vmapped). The dependency chain still pipelines through the async
+    dispatch queue with no host syncs between frames.
     """
 
-    def step(ref, mov):
-        fx, fy = farneback_flow(ref, mov, **flow_kwargs)
+    @jax.jit
+    def _smooth_warp(mov, fx, fy):
         fs = _blur(jnp.stack([fx, fy]), flow_smooth_ksize, flow_smooth_sigma, True)
-        fx, fy = warp_sign * fs[0], warp_sign * fs[1]
-        warped = warp_flow(mov, fx, fy, border="reflect")
-        return warped, warped
+        return warp_flow(mov, warp_sign * fs[0], warp_sign * fs[1], border="reflect")
 
-    _, out = jax.lax.scan(step, U[0], U[1:])
-    return jnp.concatenate([U[:1], out], axis=0)
+    out = [U[0]]
+    ref = U[0]
+    for i in range(1, U.shape[0]):
+        fx, fy = farneback_flow(ref, U[i], **flow_kwargs)
+        ref = _smooth_warp(U[i], fx, fy)
+        out.append(ref)
+    return jnp.stack(out, axis=0)
 
 
 def farneback_flow_pairs(U: Array, **flow_kwargs) -> tuple[Array, Array]:
-    """Flow for every consecutive frame pair, vmapped (transport pipeline,
-    transport_pde_discovery.py:46-83: independent pairs -> fully parallel)."""
-    f = lambda a, b: farneback_flow(a, b, **flow_kwargs)
-    return jax.jit(jax.vmap(f))(U[:-1], U[1:])
+    """Flow for every consecutive frame pair (transport pipeline,
+    transport_pde_discovery.py:46-83).
+
+    Pairs are independent, but a vmapped pyramid is ~400x slower than
+    sequentially dispatched single-example programs on TPU (batched gathers
+    lower badly — see farneback_register_sequence); the per-pair jitted calls
+    pipeline through the async dispatch queue instead."""
+    outs = [farneback_flow(U[i], U[i + 1], **flow_kwargs) for i in range(U.shape[0] - 1)]
+    fx = jnp.stack([o[0] for o in outs])
+    fy = jnp.stack([o[1] for o in outs])
+    return fx, fy
