@@ -62,17 +62,23 @@ class ImprovedRegistrationConfig:
 
 def dis_register_sequence(U: jnp.ndarray, *, warp_sign: float = 1.0) -> jnp.ndarray:
     """Sequential warp-to-previous DIS registration with 11x11/sigma-2 flow
-    smoothing (pde_discovery_improved_registration.py:107-145)."""
+    smoothing (pde_discovery_improved_registration.py:107-145).
+
+    Host-chained jitted per-frame programs (not lax.scan) — TPU lowers the
+    patch-gather-heavy DIS program far slower inside scan (see
+    farneback_register_sequence)."""
     from pdx.register.farneback import _blur
 
+    @jax.jit
     def step(ref, mov):
         fx, fy = dis_flow(ref, mov)
         fs = _blur(jnp.stack([fx, fy]), 11, 2.0, True)
-        warped = warp_flow(mov, warp_sign * fs[0], warp_sign * fs[1], border="reflect")
-        return warped, warped
+        return warp_flow(mov, warp_sign * fs[0], warp_sign * fs[1], border="reflect")
 
-    _, out = jax.lax.scan(step, U[0], U[1:])
-    return jnp.concatenate([U[:1], out], axis=0)
+    out = [U[0]]
+    for i in range(1, U.shape[0]):
+        out.append(step(out[-1], U[i]))
+    return jnp.stack(out, axis=0)
 
 
 def run(cfg: ImprovedRegistrationConfig, U_raw: np.ndarray | None = None) -> dict[str, Any]:

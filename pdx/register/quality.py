@@ -24,11 +24,14 @@ def mean_flow_magnitude(U: Array, **flow_kwargs) -> Array:
     kwargs = dict(pyr_scale=0.5, levels=3, winsize=15, iterations=3, poly_n=5, poly_sigma=1.2, gaussian_win=False)
     kwargs.update(flow_kwargs)
 
+    @jax.jit
     def pair_mag(a, b):
         fx, fy = farneback_flow(a, b, **kwargs)
         return jnp.mean(jnp.sqrt(fx**2 + fy**2))
 
-    mags = jax.vmap(pair_mag)(U[:-1], U[1:])
+    # sequential jitted dispatch (vmapped pyramid gathers are pathologically
+    # slow on TPU — see farneback_register_sequence)
+    mags = jnp.stack([pair_mag(U[i], U[i + 1]) for i in range(U.shape[0] - 1)])
     return jnp.mean(mags)
 
 
