@@ -154,31 +154,45 @@ def run(cfg: PatchSindyConfig, U_raw: np.ndarray | None = None) -> dict[str, Any
 
     P = seqs.shape[0]
     if cfg.registration_method == "ecc":
+        @jax.jit
         def reg_one(seq):
             out, ccs = ecc_register_sequence(seq, motion="euclidean", gauss_sigma=1.0)
             return out, jnp.mean(ccs)
 
-        seqs, qualities = jax.vmap(reg_one)(seqs)
+        # host loop over patches: the ECC warp gathers + while_loops degrade
+        # badly under vmap on TPU (see farneback_register_sequence)
+        pairs = [reg_one(seqs[i]) for i in range(P)]
+        seqs = jnp.stack([p[0] for p in pairs])
+        qualities = jnp.stack([p[1] for p in pairs])
     elif cfg.registration_method == "optical_flow":
         # per-patch warp-to-previous Farnebäck, quality = 1/(1 + mean |flow|)
-        # (patch_based_sindy.py:198-221)
+        # (patch_based_sindy.py:198-221); host-chained jitted flows per frame
+        # (vmap/scan gather pathology — see farneback_register_sequence)
         from pdx.register.farneback import farneback_flow
         from pdx.ops.interp import warp_flow
 
-        def reg_one(seq):
-            def step(ref, mov):
+        @jax.jit
+        def warp_q(mov, fx, fy):
+            warped = warp_flow(mov, fx, fy, border="reflect")
+            return warped, 1.0 / (jnp.mean(jnp.sqrt(fx**2 + fy**2)) + 1.0)
+
+        new_seqs, qualities = [], []
+        for pi in range(P):
+            seq = seqs[pi]
+            frames = [seq[0]]
+            qs = []
+            for t in range(1, seq.shape[0]):
                 fx, fy = farneback_flow(
-                    ref, mov, levels=3, winsize=15, iterations=5, poly_n=7,
-                    poly_sigma=1.5, gaussian_win=False,
+                    frames[-1], seq[t], levels=3, winsize=15, iterations=5,
+                    poly_n=7, poly_sigma=1.5, gaussian_win=False,
                 )
-                warped = warp_flow(mov, fx, fy, border="reflect")
-                mag = jnp.mean(jnp.sqrt(fx**2 + fy**2))
-                return warped, (warped, 1.0 / (mag + 1.0))
-
-            _, (out, q) = jax.lax.scan(step, seq[0], seq[1:])
-            return jnp.concatenate([seq[:1], out], axis=0), jnp.mean(q)
-
-        seqs, qualities = jax.vmap(reg_one)(seqs)
+                warped, q = warp_q(seq[t], fx, fy)
+                frames.append(warped)
+                qs.append(q)
+            new_seqs.append(jnp.stack(frames))
+            qualities.append(jnp.mean(jnp.stack(qs)))
+        seqs = jnp.stack(new_seqs)
+        qualities = jnp.stack(qualities)
     else:
         qualities = jnp.ones((P,), dtype=dtype)
 

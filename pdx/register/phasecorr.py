@@ -126,14 +126,22 @@ def stabilize_translation_sequence(
         mov_est = smooth_fn(U[1:])
         dr, dc = phase_correlate(jnp.broadcast_to(ref_est, mov_est.shape), mov_est)
         sx, sy = -dr, -dc
-        aligned = jax.vmap(shift_fn)(U[1:], sx, sy)
+        # warp gathers vectorize poorly under vmap on TPU (see
+        # farneback_register_sequence); chain jitted per-frame shifts instead
+        shift_j = jax.jit(shift_fn)
+        aligned = jnp.stack([shift_j(U[i + 1], sx[i], sy[i]) for i in range(U.shape[0] - 1)])
         return jnp.concatenate([U[:1], aligned], axis=0)
 
+    @jax.jit
     def step(ref_est, mov):
         mov_est = smooth_fn(mov)
         dr, dc = phase_correlate(ref_est, mov_est)
         out = shift_fn(mov, -dr, -dc)
         return smooth_fn(out), out
 
-    _, aligned = jax.lax.scan(step, smooth_fn(U[0]), U[1:])
-    return jnp.concatenate([U[:1], aligned], axis=0)
+    outs = []
+    ref_est = smooth_fn(U[0])
+    for i in range(1, U.shape[0]):
+        ref_est, out = step(ref_est, U[i])
+        outs.append(out)
+    return jnp.concatenate([U[:1], jnp.stack(outs)], axis=0)
