@@ -121,27 +121,24 @@ def stabilize_translation_sequence(
 
     shift_fn = shift_periodic if border == "wrap" else shift_reflect
 
+    # NOTE on dispatch structure: unlike the flow pyramids (whose complex
+    # gather patterns degrade 100-400x under vmap/scan — see
+    # farneback_register_sequence), the plain bilinear shift vectorizes fine:
+    # vmapped to_first stabilization of 2000 frames measures 3 s warm vs 25 s
+    # as a host-chained loop (per-dispatch tunnel latency dominates).
     if mode == "to_first":
         ref_est = smooth_fn(U[0])
         mov_est = smooth_fn(U[1:])
         dr, dc = phase_correlate(jnp.broadcast_to(ref_est, mov_est.shape), mov_est)
         sx, sy = -dr, -dc
-        # warp gathers vectorize poorly under vmap on TPU (see
-        # farneback_register_sequence); chain jitted per-frame shifts instead
-        shift_j = jax.jit(shift_fn)
-        aligned = jnp.stack([shift_j(U[i + 1], sx[i], sy[i]) for i in range(U.shape[0] - 1)])
+        aligned = jax.vmap(shift_fn)(U[1:], sx, sy)
         return jnp.concatenate([U[:1], aligned], axis=0)
 
-    @jax.jit
     def step(ref_est, mov):
         mov_est = smooth_fn(mov)
         dr, dc = phase_correlate(ref_est, mov_est)
         out = shift_fn(mov, -dr, -dc)
         return smooth_fn(out), out
 
-    outs = []
-    ref_est = smooth_fn(U[0])
-    for i in range(1, U.shape[0]):
-        ref_est, out = step(ref_est, U[i])
-        outs.append(out)
-    return jnp.concatenate([U[:1], jnp.stack(outs)], axis=0)
+    _, aligned = jax.lax.scan(step, smooth_fn(U[0]), U[1:])
+    return jnp.concatenate([U[:1], aligned], axis=0)
