@@ -46,6 +46,7 @@ from pdx.validate.rollout import (
     make_rhs_reflect,
     one_step_prediction_rmse,
     rollout_k_rmse,
+    rollout_k_rmse_dense,
 )
 from pdx.validate.selection import select_best
 
@@ -221,6 +222,137 @@ def _equation(coeffs, names, tol=1e-5) -> str:
     return "u_t = " + " ".join(parts) if parts else "u_t = 0"
 
 
+from functools import partial as _partial
+
+import jax as _jax
+
+from pdx.validate.rollout import ANALYZE13, rollout_k_rmse_dense_batch
+
+
+def _batched_metrics(y, P):
+    """Vectorized regression metrics over the model axis. y (n,), P (n, M)."""
+    resid = y[:, None] - P
+    rmse_v = jnp.sqrt(jnp.mean(resid**2, axis=0))
+    mae_v = jnp.mean(jnp.abs(resid), axis=0)
+    ystd = jnp.std(y)
+    sst = jnp.sum((y - jnp.mean(y)) ** 2)
+    r2_v = 1.0 - jnp.sum(resid**2, axis=0) / (sst + 1e-18)
+    nrmse_v = rmse_v / (ystd + 1e-12)
+    yc = y - jnp.mean(y)
+    Pc = P - jnp.mean(P, axis=0)
+    corr_v = jnp.sum(yc[:, None] * Pc, axis=0) / (
+        jnp.sqrt(jnp.sum(yc**2)) * jnp.sqrt(jnp.sum(Pc**2, axis=0)) + 1e-18
+    )
+    med_v = jnp.median(jnp.abs(resid), axis=0)
+    return {"rmse": rmse_v, "mae": mae_v, "r2": r2_v, "nrmse": nrmse_v, "corr": corr_v, "resid_med_abs": med_v}
+
+
+@_partial(_jax.jit, static_argnames=("max_iter", "n_tr_t"))
+def _fit_models_batched(X_tr, y_tr, X_te, y_te, u, masks, alpha, threshold, dt, max_iter, n_tr_t):
+    """One shared Gram, vmapped per-model masked STRidge, batched metrics and
+    one-step checks — the entire 6-model family in one XLA program."""
+    stats = gram_stats(X_tr, y_tr)
+
+    def one(m):
+        return stridge_from_stats(
+            stats, alpha=alpha, threshold=threshold, max_iter=max_iter, init_mask=m
+        ).coeffs
+
+    coeffs = _jax.vmap(one)(masks)  # (M, 13)
+    preds_tr = X_tr @ coeffs.T  # (n_tr, M)
+    preds_te = X_te @ coeffs.T
+    m_tr = _batched_metrics(y_tr, preds_tr)
+    m_te = _batched_metrics(y_te, preds_te)
+
+    # one-step per segment (analyze_results.py:641-646): predictions reshaped
+    # back to frames, compared against u(t+1) within each time segment
+    M = masks.shape[0]
+    mt, mh, mw = u.shape
+    ut_pred = jnp.concatenate(
+        [
+            preds_tr.T.reshape(M, n_tr_t, mh, mw),
+            preds_te.T.reshape(M, mt - n_tr_t, mh, mw),
+        ],
+        axis=1,
+    )  # (M, mt, mh, mw)
+
+    def one_step_seg(seg_u, seg_pred):
+        err = (seg_u[1:] - (seg_u[:-1] + dt * seg_pred[:-1])) ** 2
+        return jnp.sqrt(jnp.mean(err))
+
+    os_tr = _jax.vmap(lambda p: one_step_seg(u[:n_tr_t], p[:n_tr_t]))(ut_pred)
+    os_te = _jax.vmap(lambda p: one_step_seg(u[n_tr_t:], p[n_tr_t:]))(ut_pred)
+    return coeffs, m_tr, m_te, os_tr, os_te
+
+
+def _run_models_batched(cfg, fields, u_t, u, train_sl, test_sl, k_list) -> list[dict]:
+    superset = list(ANALYZE13)
+    terms13 = jnp.stack([fields[n] for n in superset], axis=0)
+    model_names = list(MODELS.keys())
+    masks = jnp.asarray(
+        [[1.0 if n in MODELS[mn] else 0.0 for n in superset] for mn in model_names],
+        dtype=u_t.dtype,
+    )
+    M = len(model_names)
+    n_tr_t = train_sl.stop
+
+    X_tr = terms13[:, train_sl].reshape(13, -1).T
+    y_tr = u_t[train_sl].reshape(-1)
+    X_te = terms13[:, test_sl].reshape(13, -1).T
+    y_te = u_t[test_sl].reshape(-1)
+
+    coeffs_b, m_tr, m_te, os_tr, os_te = _fit_models_batched(
+        X_tr, y_tr, X_te, y_te, u, masks, cfg.alpha, cfg.threshold, cfg.dt, 20, n_tr_t
+    )
+    coeffs_np = np.asarray(coeffs_b)
+    m_tr = {k: np.asarray(v) for k, v in m_tr.items()}
+    m_te = {k: np.asarray(v) for k, v in m_te.items()}
+    os_tr_np, os_te_np = np.asarray(os_tr), np.asarray(os_te)
+
+    # batched rollouts: one dispatch per (k, split) covering all models
+    rollouts: dict[tuple[int, str], tuple[np.ndarray, np.ndarray]] = {}
+    for k in k_list:
+        for tag, sl in (("train", train_sl), ("test", test_sl)):
+            rollouts[(k, tag)] = rollout_k_rmse_dense_batch(
+                u, coeffs_b, k, sl.start or 0, sl.stop, cfg.dt, cfg.dx, cfg.dy
+            )
+
+    results = []
+    for mi, model_name in enumerate(model_names):
+        names = MODELS[model_name]
+        # project the dense coefficient vector back to the model's term order
+        coeffs = np.asarray([coeffs_np[mi, superset.index(n)] for n in names])
+        rollout = {
+            f"k{k}_{tag}": {"rmse": float(rollouts[(k, tag)][0][mi]), "nrmse": float(rollouts[(k, tag)][1][mi])}
+            for k in k_list
+            for tag in ("train", "test")
+        }
+        results.append(
+            {
+                "name": model_name,
+                "r2": float(m_te["r2"][mi]),
+                "rmse": float(m_te["rmse"][mi]),
+                "mae": float(m_te["mae"][mi]),
+                "nrmse": float(m_te["nrmse"][mi]),
+                "corr": float(m_te["corr"][mi]),
+                "resid_med_abs": float(m_te["resid_med_abs"][mi]),
+                "one_step_rmse": float(os_te_np[mi]),
+                "train_r2": float(m_tr["r2"][mi]),
+                "train_rmse": float(m_tr["rmse"][mi]),
+                "train_nrmse": float(m_tr["nrmse"][mi]),
+                "train_corr": float(m_tr["corr"][mi]),
+                "train_one_step_rmse": float(os_tr_np[mi]),
+                "rollout": rollout,
+                "n_active": int(np.sum(np.abs(coeffs) > 1e-5)),
+                "n_total": len(names),
+                "equation": _equation(coeffs, names),
+                "coeffs": coeffs,
+                "names": names,
+            }
+        )
+    return results
+
+
 def run(cfg: AnalyzeConfig, U_raw: np.ndarray | None = None) -> dict[str, Any]:
     if U_raw is None:
         U_raw = load_images(cfg.data_dir, max_images=cfg.max_images, mode="grayscale_u8")
@@ -233,16 +365,27 @@ def run(cfg: AnalyzeConfig, U_raw: np.ndarray | None = None) -> dict[str, Any]:
     train_sl, test_sl = _split_slices(mt, cfg.train_frac)
     k_list = [int(k) for k in cfg.rollout_steps]
 
-    model_specs: list[tuple[str, list[str], dict]] = [
-        (name, names, fields) for name, names in MODELS.items()
-    ]
+    if cfg.robust_regression:
+        model_specs: list[tuple[str, list[str], dict]] = [
+            (name, names, fields) for name, names in MODELS.items()
+        ]
+    else:
+        # TPU-native fast path: all six models are column subsets of the
+        # 13-term superset, so the whole family is ONE shared Gram + vmapped
+        # masked STRidge fits + batched metrics/one-step + per-(k, split)
+        # batched rollouts (~25 device dispatches for everything vs ~800
+        # eager round-trips in the per-model loop)
+        model_specs = []
+        results = _run_models_batched(cfg, fields, u_t, u, train_sl, test_sl, k_list)
+
     if cfg.include_fourth_order:
         from pdx.library.dictionaries import FOURTH_ORDER_TERMS, fourth_order_term_fields
 
         fields4 = fourth_order_term_fields(u, cfg.dx, cfg.dy)
         model_specs.append(("Model 7: 4th-order extended (25 terms)", FOURTH_ORDER_TERMS, fields4))
 
-    results = []
+    if cfg.robust_regression:
+        results = []
     for model_name, names, fields_m in model_specs:
         terms = jnp.stack([fields_m[n] for n in names], axis=0)  # (p, T, H, W)
         p = len(names)
@@ -270,16 +413,12 @@ def run(cfg: AnalyzeConfig, U_raw: np.ndarray | None = None) -> dict[str, Any]:
         one_step_train = float(one_step_prediction_rmse(u[train_sl], ut_pred_full[train_sl], dt))
         one_step_test = float(one_step_prediction_rmse(u[test_sl], ut_pred_full[test_sl], dt))
 
-        if len(names) > 13:
-            from pdx.validate.rollout import make_rhs_fourth_order
-
-            rhs = make_rhs_fourth_order(names, coeffs, cfg.dx, cfg.dy)
-        else:
-            rhs = make_rhs_reflect(names, coeffs, cfg.dx, cfg.dy)
         rollout = {}
         for k in k_list:
             for tag, sl in (("train", train_sl), ("test", test_sl)):
-                m = rollout_k_rmse(u, rhs, k, sl.start or 0, sl.stop, dt)
+                m = rollout_k_rmse_dense(
+                    u, names, coeffs, k, sl.start or 0, sl.stop, dt, cfg.dx, cfg.dy
+                )
                 rollout[f"k{k}_{tag}"] = {kk: float(vv) for kk, vv in m.items()}
 
         n_active = int(jnp.sum(jnp.abs(coeffs) > 1e-5))
@@ -314,28 +453,25 @@ def run(cfg: AnalyzeConfig, U_raw: np.ndarray | None = None) -> dict[str, Any]:
     spatial_eval = _spatial_holdout(cfg, fields, u_t, u, best_overall["name"], mh, mw, axis="lr")
     spatial_eval_tb = _spatial_holdout(cfg, fields, u_t, u, best_overall["name"], mh, mw, axis="tb")
 
-    if len(best_overall["names"]) > 13:
-        from pdx.validate.rollout import make_rhs_fourth_order
-
-        rhs_best = make_rhs_fourth_order(
-            best_overall["names"], jnp.asarray(best_overall["coeffs"]), cfg.dx, cfg.dy
-        )
-    else:
-        rhs_best = make_rhs_reflect(
-            best_overall["names"], jnp.asarray(best_overall["coeffs"]), cfg.dx, cfg.dy
-        )
+    b_names, b_coeffs = best_overall["names"], best_overall["coeffs"]
     rollout_time = {
-        k: {kk: float(vv) for kk, vv in rollout_k_rmse(u, rhs_best, k, test_sl.start, test_sl.stop, dt).items()}
+        k: {kk: float(vv) for kk, vv in rollout_k_rmse_dense(
+            u, b_names, b_coeffs, k, test_sl.start, test_sl.stop, dt, cfg.dx, cfg.dy
+        ).items()}
         for k in k_list
     }
     lr_test_mask = _space_mask(mh, mw, cfg.space_train_frac, "lr")[1]
     tb_test_mask = _space_mask(mh, mw, cfg.space_train_frac, "tb")[1]
     rollout_lr = {
-        k: {kk: float(vv) for kk, vv in rollout_k_rmse(u, rhs_best, k, 0, mt, dt, lr_test_mask).items()}
+        k: {kk: float(vv) for kk, vv in rollout_k_rmse_dense(
+            u, b_names, b_coeffs, k, 0, mt, dt, cfg.dx, cfg.dy, lr_test_mask
+        ).items()}
         for k in k_list
     }
     rollout_tb = {
-        k: {kk: float(vv) for kk, vv in rollout_k_rmse(u, rhs_best, k, 0, mt, dt, tb_test_mask).items()}
+        k: {kk: float(vv) for kk, vv in rollout_k_rmse_dense(
+            u, b_names, b_coeffs, k, 0, mt, dt, cfg.dx, cfg.dy, tb_test_mask
+        ).items()}
         for k in k_list
     }
 

@@ -41,11 +41,16 @@ class StridgeResult:
 
 
 def _stridge_iterations(
-    Gs: Array, bs: Array, alpha: Array | float, threshold: Array | float, max_iter: int
+    Gs: Array, bs: Array, alpha: Array | float, threshold: Array | float, max_iter: int,
+    init_mask: Array | None = None,
 ) -> tuple[Array, Array]:
-    """Core masked iteration on standardized stats. Returns (coeffs_std, mask)."""
+    """Core masked iteration on standardized stats. Returns (coeffs_std, mask).
+
+    ``init_mask`` restricts the fit to a column subset from the start —
+    EXACTLY equivalent to fitting on the subset matrix (model families as
+    masks over one shared Gram)."""
     p = Gs.shape[-1]
-    mask0 = jnp.ones(bs.shape, dtype=Gs.dtype)
+    mask0 = jnp.ones(bs.shape, dtype=Gs.dtype) if init_mask is None else init_mask.astype(Gs.dtype)
     c0 = masked_ridge_solve(Gs, bs, mask0, alpha)
 
     def body(_, state):
@@ -67,10 +72,11 @@ def stridge_from_stats(
     alpha: float | Array = 1e-3,
     threshold: float | Array = 1e-6,
     max_iter: int = 25,
+    init_mask: Array | None = None,
 ) -> StridgeResult:
     """STRidge from raw sufficient statistics (see :func:`pdx.ops.linalg.gram_stats`)."""
     Gs, bs, _mean, scale = standardized_stats(stats)
-    c_std, mask = _stridge_iterations(Gs, bs, alpha, threshold, max_iter)
+    c_std, mask = _stridge_iterations(Gs, bs, alpha, threshold, max_iter, init_mask)
     coeffs = c_std / (scale + 1e-12)
     return StridgeResult(coeffs=coeffs, mask=mask, n_active=jnp.sum(mask > 0, axis=-1))
 

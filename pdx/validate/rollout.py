@@ -18,6 +18,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import Array
 
 from pdx.library.dictionaries import real_image_term_fields
@@ -154,6 +155,168 @@ def rollout_k_rmse(
         rm = jnp.sqrt(jnp.mean(diff2))
         tstd = jnp.std(targets)
     return {"rmse": rm, "nrmse": rm / (tstd + 1e-12)}
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("term_set", "k", "t0", "t1", "masked", "dx", "dy"))
+def _rollout_k_dense(u_true, coeffs, dt, spatial_mask, *, term_set, k, t0, t1, masked, dx, dy):
+    if term_set == "real13":
+        from pdx.library.dictionaries import real_image_term_fields as fields_fn
+
+        names = list(ANALYZE13)
+    else:
+        from pdx.library.dictionaries import fourth_order_term_fields as fields_fn, FOURTH_ORDER_TERMS
+
+        names = list(FOURTH_ORDER_TERMS)
+
+    def rhs(u):
+        fields = fields_fn(u, dx, dy)
+        out = jnp.zeros_like(u)
+        for i, n in enumerate(names):
+            out = out + coeffs[i] * fields[n]
+        return out
+
+    starts = u_true[t0 : t1 - k]
+    traj = rollout_trajectories(rhs, starts, k, dt)
+    preds = traj[-1]
+    targets = u_true[t0 + k : t1]
+    diff2 = (targets - preds) ** 2
+    if masked:
+        m = jnp.broadcast_to(spatial_mask, diff2.shape)
+        msum = jnp.sum(m)
+        rm = jnp.sqrt(jnp.sum(diff2 * m) / msum)
+        tmean = jnp.sum(targets * m) / msum
+        tstd = jnp.sqrt(jnp.sum(((targets - tmean) ** 2) * m) / msum)
+    else:
+        rm = jnp.sqrt(jnp.mean(diff2))
+        tstd = jnp.std(targets)
+    return rm, rm / (tstd + 1e-12)
+
+
+ANALYZE13 = (
+    "one", "u", "ux", "uy", "uxx", "uyy", "lap", "u2", "u_ux", "u_uy", "u3", "ux2", "uy2",
+)
+
+
+@partial(jax.jit, static_argnames=("term_set", "k", "t0", "t1", "masked", "dx", "dy"))
+def _rollout_k_dense_batch(u_true, coeffs_batch, dt, spatial_mask, *, term_set, k, t0, t1, masked, dx, dy):
+    """Per-model rollout metrics for a batch of dense coefficient vectors —
+    one dispatch covers every model family at this (k, split)."""
+    if term_set == "real13":
+        from pdx.library.dictionaries import real_image_term_fields as fields_fn
+
+        names = list(ANALYZE13)
+    else:
+        from pdx.library.dictionaries import fourth_order_term_fields as fields_fn, FOURTH_ORDER_TERMS
+
+        names = list(FOURTH_ORDER_TERMS)
+
+    starts = u_true[t0 : t1 - k]
+    targets = u_true[t0 + k : t1]
+
+    def for_model(coeffs):
+        def rhs(u):
+            fields = fields_fn(u, dx, dy)
+            out = jnp.zeros_like(u)
+            for i, n in enumerate(names):
+                out = out + coeffs[i] * fields[n]
+            return out
+
+        def step(s, _):
+            return s + dt * jax.vmap(rhs)(s), None
+
+        preds, _ = jax.lax.scan(step, starts, None, length=k)
+        diff2 = (targets - preds) ** 2
+        if masked:
+            m = jnp.broadcast_to(spatial_mask, diff2.shape)
+            msum = jnp.sum(m)
+            rm = jnp.sqrt(jnp.sum(diff2 * m) / msum)
+            tmean = jnp.sum(targets * m) / msum
+            tstd = jnp.sqrt(jnp.sum(((targets - tmean) ** 2) * m) / msum)
+        else:
+            rm = jnp.sqrt(jnp.mean(diff2))
+            tstd = jnp.std(targets)
+        return rm, rm / (tstd + 1e-12)
+
+    return jax.vmap(for_model)(coeffs_batch)
+
+
+def rollout_k_rmse_dense_batch(
+    u_true: Array,
+    coeffs_batch: Array,
+    k: int,
+    t0: int,
+    t1: int,
+    dt: float,
+    dx: float,
+    dy: float,
+    spatial_mask: Array | None = None,
+    term_set: str = "real13",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batched-over-models k-step rollout. coeffs_batch is (M, p_superset)
+    dense vectors. Returns (rmse[M], nrmse[M]) as numpy."""
+    M = coeffs_batch.shape[0]
+    if k <= 0 or (t1 - t0) <= k:
+        nan = np.full((M,), np.nan)
+        return nan, nan
+    mask_arg = spatial_mask if spatial_mask is not None else jnp.zeros(u_true.shape[-2:], u_true.dtype)
+    rm, nrm = _rollout_k_dense_batch(
+        u_true, coeffs_batch, dt, mask_arg,
+        term_set=term_set, k=int(k), t0=int(t0), t1=int(t1),
+        masked=spatial_mask is not None, dx=float(dx), dy=float(dy),
+    )
+    return np.asarray(rm), np.asarray(nrm)
+
+
+def rollout_k_rmse_dense(
+    u_true: Array,
+    names: list[str],
+    coeffs: Array,
+    k: int,
+    t0: int,
+    t1: int,
+    dt: float,
+    dx: float,
+    dy: float,
+    spatial_mask: Array | None = None,
+) -> dict[str, Array]:
+    """Jit-cached k-step rollout with coefficients as a runtime ARGUMENT.
+
+    The closure-based :func:`rollout_k_rmse` bakes coefficients into the
+    compiled program as constants, so every (model, k, split) combination
+    recompiles — 120+ scan compiles for the six-model analyze pipeline. Here
+    the model's coefficients are scattered into a dense vector over the full
+    term superset ('real13' or the 25-term 4th-order set) and passed as data:
+    one compile per (term_set, k, t0, t1, masked) signature, shared by every
+    model and every run.
+
+    """
+    if k <= 0 or (t1 - t0) <= k:
+        nan = jnp.asarray(jnp.nan, dtype=u_true.dtype)
+        return {"rmse": nan, "nrmse": nan}
+    from pdx.library.dictionaries import FOURTH_ORDER_TERMS
+
+    if set(names) <= set(ANALYZE13):
+        term_set = "real13"
+        superset = list(ANALYZE13)
+    else:
+        term_set = "fourth25"
+        superset = list(FOURTH_ORDER_TERMS)
+    cvals = np.asarray(coeffs)  # ONE host transfer (a float() per entry costs
+    # a device sync each — 1500+ syncs across the analyze model loop)
+    dense = np.zeros((len(superset),))
+    for i, n in enumerate(names):
+        dense[superset.index(n)] = cvals[i]
+    dense = jnp.asarray(dense, dtype=u_true.dtype)
+    mask_arg = spatial_mask if spatial_mask is not None else jnp.zeros(u_true.shape[-2:], u_true.dtype)
+    rm, nrm = _rollout_k_dense(
+        u_true, dense, dt, mask_arg,
+        term_set=term_set, k=int(k), t0=int(t0), t1=int(t1),
+        masked=spatial_mask is not None, dx=float(dx), dy=float(dy),
+    )
+    return {"rmse": rm, "nrmse": nrm}
 
 
 def rollout_curve(
