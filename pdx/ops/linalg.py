@@ -73,10 +73,15 @@ def _zero_std_tol(mean: Array, dtype) -> Array:
     reference's ``std > 0`` guard works; XLA's reduction order can leave
     O(eps) residual std on exactly-constant columns (measured 1.1e-16 on a
     ones column), and dividing coefficients by that residual blows them up
-    by ~1e16. Treat std below ~sqrt(eps) relative to the column magnitude
-    as zero variance."""
+    by ~1e16.
+
+    The cutoff must be relative to |mean| ONLY: a constant column's residual
+    std is O(eps * |mean|), while a genuine zero-mean column with tiny std
+    (weak-form integral features are routinely ~1e-6) must still be
+    standardized — an absolute floor here broke the weak-form golden parity.
+    Exactly-zero columns fall out via the strict ``std > 0`` comparison."""
     eps = jnp.finfo(dtype).eps
-    return jnp.sqrt(eps) * jnp.maximum(jnp.abs(mean), 1.0) * 10.0
+    return jnp.sqrt(eps) * 10.0 * jnp.abs(mean)
 
 
 def ridge_solve(G: Array, b: Array, alpha: float | Array) -> Array:

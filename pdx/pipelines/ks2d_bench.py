@@ -354,9 +354,8 @@ def _maybe_sharded_gram(cfg: Ks2dBenchConfig, X: jnp.ndarray, y: jnp.ndarray):
     """Gram sufficient statistics, sample-sharded across the device mesh when
     more than one device is available (mesh='auto') or forced (mesh='on').
 
-    Rows are truncated to a device-count multiple for even shards; the
-    dropped remainder (< n_devices rows of ~35k) is statistically negligible
-    and only taken on the multi-chip path."""
+    Rows are zero-weight-padded to a device-count multiple, so the sharded
+    statistics are EXACTLY the single-device ones (coefficient-identical)."""
     import jax
 
     n_dev = jax.device_count()
@@ -365,9 +364,15 @@ def _maybe_sharded_gram(cfg: Ks2dBenchConfig, X: jnp.ndarray, y: jnp.ndarray):
         return gram_stats(X, y)
     from pdx.shard.mesh import make_mesh, shard_batch, sharded_gram_stats
 
-    n = (X.shape[0] // n_dev) * n_dev
+    n = X.shape[0]
+    n_pad = (-n) % n_dev
+    w = jnp.concatenate([jnp.ones((n,), X.dtype), jnp.zeros((n_pad,), X.dtype)])
+    Xp = jnp.concatenate([X, jnp.zeros((n_pad, X.shape[1]), X.dtype)])
+    yp = jnp.concatenate([y, jnp.zeros((n_pad,), y.dtype)])
     mesh = make_mesh(n_dev)
-    return sharded_gram_stats(shard_batch(X[:n], mesh), shard_batch(y[:n], mesh), mesh)
+    return sharded_gram_stats(
+        shard_batch(Xp, mesh), shard_batch(yp, mesh), mesh, weights=shard_batch(w, mesh)
+    )
 
 
 def _rms_scale(X_tr: jnp.ndarray, names: list[str]) -> jnp.ndarray:

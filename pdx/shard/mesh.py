@@ -35,30 +35,40 @@ def shard_batch(x: Array, mesh: Mesh, axis_name: str = "data") -> Array:
     return jax.device_put(x, NamedSharding(mesh, spec))
 
 
-def sharded_gram_stats(X: Array, y: Array, mesh: Mesh, axis_name: str = "data") -> dict[str, Array]:
+def sharded_gram_stats(
+    X: Array, y: Array, mesh: Mesh, axis_name: str = "data", weights: Array | None = None
+) -> dict[str, Array]:
     """Gram sufficient statistics with the sample axis sharded over the mesh.
 
     Each device computes its local X_i^T X_i / X_i^T y_i on the MXU; one psum
     over ICI produces the replicated (p, p)/(p,) stats. This is the
     multi-chip form of :func:`pdx.ops.linalg.gram_stats` — the only
     cross-device communication the regression stack needs, O(p^2) bytes.
+
+    ``weights`` (0/1 rows) lets callers zero-pad to a device-count multiple
+    with EXACT statistics (padding rows contribute nothing, including to the
+    row count n).
     """
     p = X.shape[1]
+    if weights is None:
+        weights = jnp.ones((X.shape[0],), dtype=X.dtype)
 
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(axis_name, None), P(axis_name)),
+        in_specs=(P(axis_name, None), P(axis_name), P(axis_name)),
         out_specs=(P(), P(), P(), P(), P(), P()),
     )
-    def local_stats(Xl, yl):
-        G = jax.lax.psum(Xl.T @ Xl, axis_name)
-        b = jax.lax.psum(Xl.T @ yl, axis_name)
-        sx = jax.lax.psum(jnp.sum(Xl, axis=0), axis_name)
-        n = jax.lax.psum(jnp.asarray(Xl.shape[0], dtype=Xl.dtype), axis_name)
-        syy = jax.lax.psum(jnp.sum(yl * yl), axis_name)
-        sy = jax.lax.psum(jnp.sum(yl), axis_name)
+    def local_stats(Xl, yl, wl):
+        Xw = Xl * wl[:, None]
+        yw = yl * wl
+        G = jax.lax.psum(Xl.T @ Xw, axis_name)
+        b = jax.lax.psum(Xl.T @ yw, axis_name)
+        sx = jax.lax.psum(jnp.sum(Xw, axis=0), axis_name)
+        n = jax.lax.psum(jnp.sum(wl), axis_name)
+        syy = jax.lax.psum(jnp.sum(yl * yw), axis_name)
+        sy = jax.lax.psum(jnp.sum(yw), axis_name)
         return G, b, sx, n, syy, sy
 
-    G, b, sx, n, syy, sy = local_stats(X, y)
+    G, b, sx, n, syy, sy = local_stats(X, y, weights)
     return {"G": G, "b": b, "sx": sx, "n": n, "syy": syy, "sy": sy}

@@ -74,7 +74,7 @@ class TestPipelineMesh:
                       alpha=1e-6, threshold=1e-10, solver="gram")
         r_single = run(Ks2dBenchConfig(**common, mesh="off"))
         r_mesh = run(Ks2dBenchConfig(**common, mesh="on"))
-        # shards drop <8 remainder rows, so allow tiny numerical drift
-        np.testing.assert_allclose(r_mesh["coeffs"], r_single["coeffs"], rtol=1e-3, atol=1e-6)
+        # zero-weight padding makes the sharded statistics exact
+        np.testing.assert_allclose(r_mesh["coeffs"], r_single["coeffs"], rtol=1e-9, atol=1e-12)
         for k in r_single["gt_errors"]:
             assert r_mesh["gt_errors"][k]["rel_err_pct"] < 1.0
