@@ -142,8 +142,23 @@ def run(cfg: PatchSindyConfig, U_raw: np.ndarray | None = None) -> dict[str, Any
     if U.shape[0] >= cfg.temporal_window:
         U = savgol_time(U, cfg.temporal_window, 2)
 
-    stride = cfg.patch_size - cfg.overlap
-    seqs, coords = extract_patch_sequences(U, cfg.patch_size, stride)
+    # auto-clamp: the reference default (256 px patches) assumes ~1024 px
+    # frames; smaller inputs would otherwise yield an empty patch grid
+    T_, H_, W_ = U.shape
+    patch_size = min(cfg.patch_size, H_, W_)
+    overlap = min(cfg.overlap, patch_size - 1) if patch_size < cfg.patch_size else cfg.overlap
+    if patch_size != cfg.patch_size:
+        import warnings
+
+        warnings.warn(
+            f"patch_size {cfg.patch_size} exceeds frame size {H_}x{W_}; clamped to {patch_size}"
+        )
+    stride = patch_size - overlap
+    seqs, coords = extract_patch_sequences(U, patch_size, stride)
+    if seqs.shape[0] == 0:
+        raise RuntimeError(
+            f"patch grid is empty for patch_size={patch_size}, frames {H_}x{W_}"
+        )
     if cfg.max_patches is not None and seqs.shape[0] > cfg.max_patches:
         import random
 

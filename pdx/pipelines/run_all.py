@@ -22,6 +22,13 @@ class RunAllConfig:
     skip_heavy: bool = False
     skip: int = 25
     subsample: int = 12
+    # patch-sindy knobs (defaults assume ~1024 px frames like the reference)
+    patch_size: int = 256
+    patch_overlap: int = 64
+    min_patches: int = 5
+    # patch-discovery knobs (working-grid units)
+    grid_patch: int = 21
+    grid_overlap: int = 10
 
 
 def run(cfg: RunAllConfig) -> dict[str, str]:
@@ -79,6 +86,9 @@ def run(cfg: RunAllConfig) -> dict[str, str]:
                 data_dir=cfg.data_dir,
                 output_dir=str(out_root / "patch_sindy"),
                 max_images=cfg.max_images,
+                patch_size=cfg.patch_size,
+                overlap=cfg.patch_overlap,
+                min_patches=cfg.min_patches,
             )
         )
         status["patch_sindy"] = "ok"
@@ -92,6 +102,8 @@ def run(cfg: RunAllConfig) -> dict[str, str]:
                 max_images=cfg.max_images,
                 skip=cfg.skip,
                 subsample=cfg.subsample,
+                patch=cfg.grid_patch,
+                overlap=cfg.grid_overlap,
             )
         )
         status["patch_discovery"] = "ok"
@@ -130,6 +142,11 @@ def cmd_run_all(argv: list[str]) -> int:
     parser.add_argument("--skip-heavy", action="store_true")
     parser.add_argument("--skip", type=int, default=25)
     parser.add_argument("--subsample", type=int, default=12)
+    parser.add_argument("--patch-size", type=int, default=256)
+    parser.add_argument("--patch-overlap", type=int, default=64)
+    parser.add_argument("--min-patches", type=int, default=5)
+    parser.add_argument("--grid-patch", type=int, default=21)
+    parser.add_argument("--grid-overlap", type=int, default=10)
     args = parser.parse_args(argv)
     status = run(
         RunAllConfig(
@@ -139,6 +156,11 @@ def cmd_run_all(argv: list[str]) -> int:
             skip_heavy=args.skip_heavy,
             skip=args.skip,
             subsample=args.subsample,
+            patch_size=args.patch_size,
+            patch_overlap=args.patch_overlap,
+            min_patches=args.min_patches,
+            grid_patch=args.grid_patch,
+            grid_overlap=args.grid_overlap,
         )
     )
     for stage, st in status.items():

@@ -53,10 +53,15 @@ def _level_flow(ref: Array, mov: Array, init_fx: Array, init_fy: Array, psize: i
     T = gather_patches(ref)
     Gr = gather_patches(dy)
     Gc = gather_patches(dx_)
-    # inverse-compositional Hessian per patch (fixed)
+    # inverse-compositional Hessian per patch (fixed), Tikhonov-damped: flat
+    # (low-gradient) patches otherwise amplify noise into spurious flow —
+    # observed as negative "registration improvement" on near-static frames
     h11 = jnp.sum(Gr * Gr, axis=(1, 2))
     h12 = jnp.sum(Gr * Gc, axis=(1, 2))
     h22 = jnp.sum(Gc * Gc, axis=(1, 2))
+    damp = 0.05 * jnp.mean(h11 + h22) + 1e-8
+    h11 = h11 + damp
+    h22 = h22 + damp
     det = h11 * h22 - h12 * h12 + 1e-8
 
     # init per-patch displacement from the upscaled flow at patch centers
