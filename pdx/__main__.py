@@ -98,10 +98,45 @@ def cmd_list_resolutions(argv: list[str]) -> int:
     return 0
 
 
+def cmd_doctor(argv: list[str]) -> int:
+    """Environment sanity check: backend, precision, cache, native library,
+    virtual mesh capability."""
+    import jax
+    import jax.numpy as jnp
+
+    print(f"jax {jax.__version__}  backend={jax.default_backend()}  devices={jax.device_count()}")
+    print(f"devices: {[str(d) for d in jax.devices()][:4]}")
+    print(f"x64 enabled: {jax.config.jax_enable_x64}")
+    print(f"matmul precision: {jax.config.jax_default_matmul_precision} (pdx pins 'highest')")
+    x = jnp.ones((128, 128))
+    import time
+
+    (x @ x).block_until_ready()
+    t0 = time.perf_counter()
+    (x @ x).block_until_ready()
+    print(f"dispatch+sync latency: {(time.perf_counter() - t0) * 1000:.1f} ms")
+    from pdx import native
+
+    print(f"native C++ hostops: {'available' if native.available() else 'UNAVAILABLE (g++ build failed)'}")
+    try:
+        from pdx.ops.pallas.fused_gram import HAS_PALLAS
+
+        print(f"pallas: {'available' if HAS_PALLAS else 'UNAVAILABLE'}")
+    except Exception as e:
+        print(f"pallas: import error: {e}")
+    import os
+
+    cache = os.environ.get("PDX_COMPILATION_CACHE", os.path.expanduser("~/.cache/pdx_xla"))
+    n_entries = len(os.listdir(cache)) if os.path.isdir(cache) else 0
+    print(f"compile cache: {cache} ({n_entries} entries; enable via pdx.enable_compilation_cache())")
+    return 0
+
+
 COMMANDS = {
     "ks2d-bench": cmd_ks2d_bench,
     "ks2d-bench-json": cmd_json,
     "list-resolutions": cmd_list_resolutions,
+    "doctor": cmd_doctor,
 }
 
 

@@ -222,3 +222,25 @@ class TestConfigPaths:
                               alpha=1e-6, threshold=1e-6)
         res = run(cfg)
         assert res["gt_errors"]["lap"]["rel_err_pct"] < 10.0, res["gt_errors"]
+
+
+class TestFusedPathEquality:
+    def test_fused_grid_matches_slow_path(self):
+        """The one-dispatch fused grid benchmark must select identical
+        hyperparameters and coefficients as the stage-by-stage path."""
+        import dataclasses as dc
+
+        cfg = Ks2dBenchConfig(Nx=32, Ny=32, n_seconds=0.2, dt=1e-3,
+                              n_sample=8_000, grid_search=True, solver="gram")
+        res_fast = run(cfg)
+        # force the slow path by breaking a fast-path condition that does not
+        # change the math (correct_shift_ut=False is required; use regression
+        # dispatch via grid_search with robust=False but method untouched:
+        # easiest is calling the internal slow branch through a non-default
+        # solver toggle that keeps Gram semantics)
+        res_slow = run(dc.replace(cfg, correct_shift_ut=True, perturbation="none"))
+        # correct_shift_ut with no shifts estimates ~zero velocities; allow
+        # tiny drift from the correction term
+        assert res_slow["grid_best"]["alpha"] == res_fast["grid_best"]["alpha"]
+        assert res_slow["grid_best"]["threshold"] == res_fast["grid_best"]["threshold"]
+        np.testing.assert_allclose(res_fast["coeffs"], res_slow["coeffs"], rtol=5e-3)
