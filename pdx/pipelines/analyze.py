@@ -588,6 +588,47 @@ def _spatial_holdout(cfg, fields, u_t, u, model_key, mh, mw, axis) -> dict:
     }
 
 
+def _parse_rollout_steps_env(val: str | None, default: tuple[int, ...]) -> tuple[int, ...]:
+    """Parity: analyze_results.py:45-69 — accepts '1,2,3' or '1-10'."""
+    if not val or not val.strip():
+        return default
+    s = val.strip()
+    if "-" in s and "," not in s:
+        a, b = s.split("-", 1)
+        lo, hi = int(a), int(b)
+        if hi < lo:
+            lo, hi = hi, lo
+        return tuple(range(max(1, lo), max(1, hi) + 1))
+    out = sorted({int(p) for p in s.split(",") if p.strip() and int(p) > 0})
+    return tuple(out) if out else default
+
+
+def _env_bool(name: str, default: bool) -> bool:
+    """Parity: analyze_results.py:77-81."""
+    import os
+
+    v = os.getenv(name)
+    if v is None:
+        return default
+    return str(v).strip().lower() in {"1", "true", "yes", "y", "on"}
+
+
+def config_from_env(cfg: AnalyzeConfig) -> AnalyzeConfig:
+    """Apply the reference's environment-variable overrides
+    (analyze_results.py: PDE_ROLLOUT_STEPS :72, PDE_STABILIZE_TRANSLATION /
+    _MODE / _EST_SIGMA :84-86, PDE_ROBUST_REGRESSION :543)."""
+    import os
+
+    return dataclasses.replace(
+        cfg,
+        rollout_steps=_parse_rollout_steps_env(os.getenv("PDE_ROLLOUT_STEPS"), cfg.rollout_steps),
+        stabilize_translation=_env_bool("PDE_STABILIZE_TRANSLATION", cfg.stabilize_translation),
+        stabilize_mode=os.getenv("PDE_STABILIZE_MODE", cfg.stabilize_mode),
+        stabilize_est_sigma=float(os.getenv("PDE_STABILIZE_EST_SIGMA", cfg.stabilize_est_sigma)),
+        robust_regression=_env_bool("PDE_ROBUST_REGRESSION", cfg.robust_regression),
+    )
+
+
 def cmd_analyze(argv: list[str]) -> int:
     import argparse
 
@@ -618,6 +659,7 @@ def cmd_analyze(argv: list[str]) -> int:
         skip=args.skip,
         subsample=args.subsample,
     )
+    cfg = config_from_env(cfg)  # reference env-var overrides (PDE_*)
     out = run(cfg)
     print(f"Best overall: {out['best_overall']['name']}")
     print(f"  {out['best_overall']['equation']}")

@@ -215,3 +215,27 @@ class TestTransport:
 
         U = np.ones((5, 4, 4))
         assert mass_conservation_drift(U) < 1e-9
+
+
+class TestEnvConfig:
+    def test_env_overrides(self, monkeypatch):
+        from pdx.pipelines.analyze import AnalyzeConfig, config_from_env
+
+        monkeypatch.setenv("PDE_ROLLOUT_STEPS", "2-4")
+        monkeypatch.setenv("PDE_STABILIZE_TRANSLATION", "yes")
+        monkeypatch.setenv("PDE_STABILIZE_MODE", "to_first")
+        monkeypatch.setenv("PDE_STABILIZE_EST_SIGMA", "3.5")
+        monkeypatch.setenv("PDE_ROBUST_REGRESSION", "1")
+        cfg = config_from_env(AnalyzeConfig())
+        assert cfg.rollout_steps == (2, 3, 4)
+        assert cfg.stabilize_translation is True
+        assert cfg.stabilize_mode == "to_first"
+        assert cfg.stabilize_est_sigma == 3.5
+        assert cfg.robust_regression is True
+
+    def test_env_list_format(self, monkeypatch):
+        from pdx.pipelines.analyze import AnalyzeConfig, config_from_env
+
+        monkeypatch.setenv("PDE_ROLLOUT_STEPS", "1,5,3")
+        cfg = config_from_env(AnalyzeConfig())
+        assert cfg.rollout_steps == (1, 3, 5)
