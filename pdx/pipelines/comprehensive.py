@@ -68,6 +68,7 @@ class ComprehensiveConfig:
     noises: tuple[str, ...] = ()  # empty = all
     seed: int = 42
     dtype: str = "float64"
+    multi_device: bool = True  # round-robin regimes over available devices
     write_artifacts: bool = True
 
 
@@ -378,6 +379,17 @@ def run(cfg: ComprehensiveConfig) -> dict[str, Any]:
         methods = {k: v for k, v in methods.items() if k in set(cfg.methods)}
     if cfg.noises:
         datasets = {k: v for k, v in datasets.items() if k in set(cfg.noises) or k == "N0_clean"}
+
+    # coarse-grain multi-device parallelism: the (noise-regime, method) matrix
+    # is embarrassingly parallel; placing each regime's dataset on a different
+    # device makes the async dispatch queue overlap regimes across chips
+    # (jitted programs follow their inputs' placement)
+    devices = jax.devices()
+    if cfg.multi_device and len(devices) > 1:
+        datasets = {
+            name: jax.device_put(data, devices[i % len(devices)])
+            for i, (name, data) in enumerate(datasets.items())
+        }
 
     results: dict[str, dict] = {}
     for noise_name, data in datasets.items():

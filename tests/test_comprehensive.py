@@ -158,3 +158,30 @@ class TestMatrix:
         for n in out["results"]:
             for m, r in out["results"][n].items():
                 assert "error_msg" not in r, (n, m, r)
+
+
+class TestMultiDevice:
+    def test_results_identical_across_placement(self):
+        """Round-robin device placement must not change any result (the 8-way
+        virtual CPU mesh exercises the multi-device path)."""
+        import jax
+        from pdx.pipelines.comprehensive import ComprehensiveConfig, run
+
+        if len(jax.devices()) < 2:
+            import pytest
+
+            pytest.skip("needs multiple devices")
+        common = dict(
+            n_seconds=0.25,
+            methods=("M01_baseline", "M02_gaussian"),
+            noises=("N2_noise",),
+            write_artifacts=False,
+            n_subsample=5_000,
+        )
+        r_multi = run(ComprehensiveConfig(**common, multi_device=True))
+        r_single = run(ComprehensiveConfig(**common, multi_device=False))
+        for noise in r_single["results"]:
+            for m in r_single["results"][noise]:
+                a = r_single["results"][noise][m]["coef"]
+                b = r_multi["results"][noise][m]["coef"]
+                np.testing.assert_allclose(a, b, rtol=1e-10)
