@@ -352,3 +352,44 @@ def rollout_rmse_curve(
 
     _, errs = jax.lax.scan(step, U[0], U[1 : n_steps + 1])
     return errs
+
+
+def _rollout_curve_named_impl(U, coeffs, names: tuple, n_steps: int, dt, dx, dy):
+    def rhs(u):
+        ux, uy = gradients_periodic(u, dx, dy)
+        lap = laplacian_periodic(u, dx, dy)
+        vals = {
+            "one": jnp.ones_like(u), "u": u, "u2": u**2, "ux": ux, "uy": uy,
+            "lap": lap, "bih": laplacian_periodic(lap, dx, dy),
+            "gradsq": ux**2 + uy**2, "u_lap": u * lap,
+        }
+        out = jnp.zeros_like(u)
+        for i, name in enumerate(names):
+            out = out + coeffs[i] * vals[name]
+        return out
+
+    def step(u, target):
+        u_next = u + dt * rhs(u)
+        err = jnp.sqrt(jnp.mean((target - u_next) ** 2))
+        return u_next, err
+
+    _, errs = jax.lax.scan(step, U[0], U[1 : n_steps + 1])
+    return errs
+
+
+_rollout_curve_named = jax.jit(
+    _rollout_curve_named_impl, static_argnames=("names", "n_steps")
+)
+
+
+def rollout_rmse_curve_named(
+    U: Array, coeffs: Array, names: list[str], n_steps: int, dt: float, dx: float, dy: float
+) -> Array:
+    """`rollout_rmse_curve` for the periodic term-map RHS, jitted with the
+    coefficient VECTOR as a runtime argument — repeated calls with new
+    coefficients (every benchmark run) reuse one compiled program instead of
+    re-tracing a fresh closure each time."""
+    return _rollout_curve_named(
+        U, jnp.asarray(coeffs, U.dtype), tuple(names), int(n_steps),
+        jnp.asarray(dt, U.dtype), jnp.asarray(dx, U.dtype), jnp.asarray(dy, U.dtype),
+    )
