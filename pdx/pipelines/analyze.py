@@ -316,6 +316,9 @@ def _run_models_batched(cfg, fields, u_t, u, train_sl, test_sl, k_list) -> list[
             rollouts[(k, tag)] = rollout_k_rmse_dense_batch(
                 u, coeffs_b, k, sl.start or 0, sl.stop, cfg.dt, cfg.dx, cfg.dy
             )
+    # pull whole (M,) vectors after all dispatches are queued — per-model
+    # float() reads below would each cost a device round-trip
+    rollouts = {key: (np.asarray(a), np.asarray(b)) for key, (a, b) in rollouts.items()}
 
     results = []
     for mi, model_name in enumerate(model_names):

@@ -30,6 +30,7 @@ from __future__ import annotations
 import dataclasses
 import time
 from dataclasses import dataclass
+from functools import partial
 from pathlib import Path
 from typing import Any, Callable
 
@@ -38,7 +39,6 @@ import jax
 import jax.numpy as jnp
 
 from pdx.io_host.artifacts import write_json
-from pdx.ops.linalg import gram_stats, standardized_stats, masked_ridge_solve
 from pdx.preprocess import (
     preprocess_gaussian,
     preprocess_median,
@@ -81,6 +81,21 @@ def simulate_clean(cfg: ComprehensiveConfig) -> jnp.ndarray:
     from pdx.utils.precision import resolve_dtype
 
     dtype = resolve_dtype(cfg.dtype)
+    if cfg.dtype == "float64" and jnp.dtype(dtype).itemsize < 8:
+        # the accelerator lacks f64: integrating the chaotic KS trajectory in
+        # f32 accumulates rounding into a systematically biased dataset (the
+        # recovered biharmonic coefficient collapses from -1 to ~-0.22, 52%
+        # error even with an exact solver). Generate the data on the host CPU
+        # in f64 and fit on the accelerator in f32 — the f32 FIT on f64 data
+        # matches the all-f64 result to 3 digits.
+        with jax.enable_x64(True), jax.default_device(jax.devices("cpu")[0]):
+            U64 = _simulate_clean_typed(cfg, jnp.float64)
+            host = np.asarray(U64)
+        return jnp.asarray(host.astype(np.float32))
+    return _simulate_clean_typed(cfg, dtype)
+
+
+def _simulate_clean_typed(cfg: ComprehensiveConfig, dtype) -> jnp.ndarray:
     dx = cfg.Lx / cfg.Nx
     x = np.linspace(0, cfg.Lx, cfg.Nx, endpoint=False)
     y = np.linspace(0, cfg.Ly, cfg.Ny, endpoint=False)
@@ -186,9 +201,13 @@ def _derivative_fields(U: jnp.ndarray, dx: float, use_fourier: bool):
     return ux, uy, lap, biharm
 
 
+@partial(jax.jit, static_argnames=("use_fourier", "margin"))
 def _build_lib_tgt(U: jnp.ndarray, dx: float, dt_frame: float, use_fourier: bool, margin: int):
     """Stacked [lap, biharm, |grad u|^2] library + forward-difference target
-    over the interior margin crop — one batched pass for all frames."""
+    over the interior margin crop — one batched pass for all frames.
+
+    Jitted: the axon TPU backend cannot execute eager complex FFT ops
+    (UNIMPLEMENTED); under jit XLA lowers them fine."""
     Uk = U[:-1]
     dudt = (U[1:] - Uk) / dt_frame
     ux, uy, lap, biharm = _derivative_fields(Uk, dx, use_fourier)
@@ -201,16 +220,20 @@ def _build_lib_tgt(U: jnp.ndarray, dx: float, dt_frame: float, use_fourier: bool
     return lib, dudt[sel].reshape(-1)
 
 
+@jax.jit
 def _centered_ridge(X: jnp.ndarray, y: jnp.ndarray, alpha: float) -> jnp.ndarray:
-    """sklearn Ridge(fit_intercept=True).coef_ equivalence: center X and y."""
-    stats = gram_stats(X, y)
-    Gs, bs, _mean, scale = standardized_stats(stats)
-    # we need centered-but-unscaled: G_c = Gs * (scale scale^T), b_c = bs*scale
-    Gc = Gs * (scale[:, None] * scale[None, :])
-    bc = bs * scale
+    """sklearn Ridge(fit_intercept=True).coef_ equivalence: center X and y,
+    then solve the ridge problem via augmented QR. QR keeps the error at
+    cond(X)*eps instead of the Gram normal equations' cond(X)^2*eps — on f32
+    backends (TPU) the [lap, biharm, gradsq] library's biharmonic column
+    (~k^4 scaling) makes the squared condition number unusable."""
+    xm = jnp.mean(X, axis=0)
+    ym = jnp.mean(y)
     p = X.shape[1]
-    mask = jnp.ones((p,), dtype=X.dtype)
-    return masked_ridge_solve(Gc, bc, mask, alpha)
+    A = jnp.concatenate([X - xm, jnp.sqrt(alpha) * jnp.eye(p, dtype=X.dtype)], axis=0)
+    b = jnp.concatenate([y - ym, jnp.zeros((p,), dtype=X.dtype)])
+    Q, R = jnp.linalg.qr(A)
+    return jax.scipy.linalg.solve_triangular(R, Q.T @ b, lower=False)
 
 
 def _ransac_fit(X: np.ndarray, y: np.ndarray, rng: np.random.Generator, max_trials: int = 100) -> np.ndarray:
@@ -275,19 +298,12 @@ def sindy_discover(
     return np.asarray(coef / scales)
 
 
-def weak_form_sindy(
-    U: jnp.ndarray, dx: float, dt_frame: float, *, test_width: int = 5, margin: int = 5,
-    n_subsample: int = 20_000,
-) -> np.ndarray:
-    """Parity: weak_form_sindy (comprehensive_benchmark.py:409-454) incl. the
-    quirk that the subsample draw is consumed but the fit uses all rows."""
-    x = np.arange(-test_width, test_width + 1)
-    Xk, Yk = np.meshgrid(x, x)
-    sigma = test_width / 2
-    phi = np.exp(-(Xk**2 + Yk**2) / (2 * sigma**2))
-    phi /= phi.sum()
-    phi_j = jnp.asarray(phi, dtype=U.dtype)
-
+@partial(jax.jit, static_argnames=("test_width", "margin"))
+def _weak_form_lib_tgt(U: jnp.ndarray, phi_j: jnp.ndarray, dx: float, dt_frame: float,
+                       test_width: int, margin: int):
+    """Device half of weak_form_sindy: 121-tap wrap convolution of the library
+    fields. Jitted — the eager per-op path is pathologically slow through the
+    axon tunnel (one RPC per tap)."""
     Uk = U[:-1]
     dudt = (U[1:] - Uk) / dt_frame
     ux, uy, lap, biharm = _derivative_fields(Uk, dx, use_fourier=False)
@@ -311,9 +327,25 @@ def weak_form_sindy(
         axis=1,
     )
     tgt = conv_wrap(dudt)[sel].reshape(-1)
-
     scales = jnp.std(lib, axis=0)
     scales = jnp.where(scales < 1e-10, 1.0, scales)
+    return lib, tgt, scales
+
+
+def weak_form_sindy(
+    U: jnp.ndarray, dx: float, dt_frame: float, *, test_width: int = 5, margin: int = 5,
+    n_subsample: int = 20_000,
+) -> np.ndarray:
+    """Parity: weak_form_sindy (comprehensive_benchmark.py:409-454) incl. the
+    quirk that the subsample draw is consumed but the fit uses all rows."""
+    x = np.arange(-test_width, test_width + 1)
+    Xk, Yk = np.meshgrid(x, x)
+    sigma = test_width / 2
+    phi = np.exp(-(Xk**2 + Yk**2) / (2 * sigma**2))
+    phi /= phi.sum()
+    phi_j = jnp.asarray(phi, dtype=U.dtype)
+
+    lib, tgt, scales = _weak_form_lib_tgt(U, phi_j, dx, dt_frame, test_width, margin)
     n_total = int(tgt.shape[0])
     _ = np.random.choice(n_total, min(n_subsample, n_total), replace=False)  # consumed, unused (reference quirk)
     coef = _centered_ridge(lib / scales, tgt, 1e-4)
@@ -376,8 +408,14 @@ def run(cfg: ComprehensiveConfig) -> dict[str, Any]:
 
     methods = build_methods(cfg, dx, dt_frame)
     if cfg.methods:
+        unknown = sorted(set(cfg.methods) - set(methods))
+        if unknown:
+            raise ValueError(f"unknown methods {unknown}; valid: {sorted(methods)}")
         methods = {k: v for k, v in methods.items() if k in set(cfg.methods)}
     if cfg.noises:
+        unknown = sorted(set(cfg.noises) - set(datasets))
+        if unknown:
+            raise ValueError(f"unknown noise regimes {unknown}; valid: {sorted(datasets)}")
         datasets = {k: v for k, v in datasets.items() if k in set(cfg.noises) or k == "N0_clean"}
 
     # coarse-grain multi-device parallelism: the (noise-regime, method) matrix
@@ -397,7 +435,7 @@ def run(cfg: ComprehensiveConfig) -> dict[str, Any]:
         for method_name, fn in methods.items():
             try:
                 t0 = time.time()
-                coef = fn(data)
+                coef = np.asarray(fn(data))  # one transfer; scalar reads below
                 elapsed = time.time() - t0
                 err = compute_error(coef)
                 results[noise_name][method_name] = {

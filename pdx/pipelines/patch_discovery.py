@@ -183,12 +183,12 @@ def run(cfg: PatchDiscoveryConfig, U_raw: np.ndarray | None = None) -> dict[str,
 
     coeffs, m_tr_v, m_te_v = all_patches(d_tr, d_te)
     C = np.asarray(coeffs)  # (P, p)
-    patch_train_metrics = [
-        {k: float(np.asarray(v)[i]) for k, v in m_tr_v.items()} for i in range(P)
-    ]
-    patch_test_metrics = [
-        {k: float(np.asarray(v)[i]) for k, v in m_te_v.items()} for i in range(P)
-    ]
+    # convert each (P,) metric vector once, not once per patch (each
+    # np.asarray on a device array is a host round-trip)
+    m_tr_np = {k: np.asarray(v) for k, v in m_tr_v.items()}
+    m_te_np = {k: np.asarray(v) for k, v in m_te_v.items()}
+    patch_train_metrics = [{k: float(v[i]) for k, v in m_tr_np.items()} for i in range(P)]
+    patch_test_metrics = [{k: float(v[i]) for k, v in m_te_np.items()} for i in range(P)]
 
     # --- stability aggregation (reference :434-443 uses plain median, not
     # masked median, for the aggregate) ---

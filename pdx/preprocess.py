@@ -2,11 +2,16 @@
 
 Parity: preprocess_* (comprehensive_benchmark.py:168-239) — Gaussian, median,
 hand-rolled TV, bilateral approximation, temporal window mean, per-frame
-z-score detrend, global exponential detrend. All batched device ops.
+z-score detrend, global exponential detrend. All batched device ops, jitted —
+several primitives (multi-axis reductions, FFT) have no eager path on the
+tunneled TPU backend.
 """
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 from jax import Array
 
@@ -17,20 +22,24 @@ def preprocess_none(U: Array) -> Array:
     return U
 
 
+@partial(jax.jit, static_argnames=("sigma",))
 def preprocess_gaussian(U: Array, sigma: float = 1.0) -> Array:
     return gaussian_filter_reflect(U, sigma)
 
 
+@partial(jax.jit, static_argnames=("size",))
 def preprocess_median(U: Array, size: int = 3) -> Array:
     if size != 3:
         raise NotImplementedError("median filter currently supports size=3")
     return median_filter_3x3(U)
 
 
+@partial(jax.jit, static_argnames=("weight", "n_iter"))
 def preprocess_tv(U: Array, weight: float = 0.1, n_iter: int = 50) -> Array:
     return tv_denoise(U, weight=weight, n_iter=n_iter)
 
 
+@partial(jax.jit, static_argnames=("sigma_s", "sigma_r"))
 def preprocess_bilateral(U: Array, sigma_s: float = 2.0, sigma_r: float = 0.1) -> Array:
     """Bilateral-like filtering (comprehensive_benchmark.py:204-212)."""
     smoothed = gaussian_filter_reflect(U, sigma_s)
@@ -39,6 +48,7 @@ def preprocess_bilateral(U: Array, sigma_s: float = 2.0, sigma_r: float = 0.1) -
     return w * U + (1.0 - w) * smoothed
 
 
+@partial(jax.jit, static_argnames=("window",))
 def preprocess_temporal(U: Array, window: int = 3) -> Array:
     """Clamped temporal window mean (comprehensive_benchmark.py:214-221):
     frame i averages frames [max(0, i-h), min(T, i+h+1)) — edge windows
@@ -55,6 +65,7 @@ def preprocess_temporal(U: Array, window: int = 3) -> Array:
     return sums / counts
 
 
+@jax.jit
 def preprocess_detrend(U: Array) -> Array:
     """Per-frame z-score (comprehensive_benchmark.py:223-229)."""
     mean = U.mean(axis=(-2, -1), keepdims=True)
@@ -62,6 +73,7 @@ def preprocess_detrend(U: Array) -> Array:
     return (U - mean) / (std + 1e-10)
 
 
+@jax.jit
 def preprocess_detrend_global(U: Array) -> Array:
     """Divide out a fitted global exponential intensity trend, then z-score
     the whole stack (comprehensive_benchmark.py:231-239)."""
@@ -79,6 +91,7 @@ def preprocess_detrend_global(U: Array) -> Array:
     return (out - out.mean()) / (out.std() + 1e-10)
 
 
+@partial(jax.jit, static_argnames=("noise_type", "noise_level"))
 def preprocess_adaptive(U: Array, noise_type: str = "gaussian", noise_level: float = 0.1) -> Array:
     """Adaptive denoising policy (notebook 08 cell 5 ``denoise_adaptive``):
     escalate from temporal Savitzky-Golay to + light spatial Gaussian to + TV
@@ -101,6 +114,7 @@ def preprocess_adaptive(U: Array, noise_type: str = "gaussian", noise_level: flo
     return savgol_time(out, 5, 2)
 
 
+@partial(jax.jit, static_argnames=("n_bins",))
 def poisson_noise_check(U: Array, n_bins: int = 20) -> dict[str, Array]:
     """Photon-noise diagnostic (notebook 09's Poisson-noise check): bin pixels
     by local mean intensity and regress local variance on mean. A slope ~ 1
