@@ -8,6 +8,8 @@ periodic Gaussian smoothing), batched over arbitrary leading axes via a single
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 from jax import Array
@@ -48,6 +50,7 @@ def _masked_fft2(f: Array, dx: float, dy: float, cutoff_frac: float) -> tuple[Ar
     return F, KX, KY
 
 
+@partial(jax.jit, static_argnames=("cutoff_frac",))
 def gradients_spectral(
     f: Array, dx: float, dy: float, *, cutoff_frac: float = 1.0
 ) -> tuple[Array, Array]:
@@ -61,6 +64,7 @@ def gradients_spectral(
     return gx, gy
 
 
+@partial(jax.jit, static_argnames=("cutoff_frac",))
 def laplacian_spectral(f: Array, dx: float, dy: float, *, cutoff_frac: float = 1.0) -> Array:
     """Spectral Laplacian with optional radial low-pass.
 
@@ -70,6 +74,7 @@ def laplacian_spectral(f: Array, dx: float, dy: float, *, cutoff_frac: float = 1
     return jnp.fft.ifft2(-(KX**2 + KY**2) * F).real
 
 
+@partial(jax.jit, static_argnames=("cutoff_frac",))
 def biharmonic_spectral(f: Array, dx: float, dy: float, *, cutoff_frac: float = 1.0) -> Array:
     """Spectral biharmonic computed as laplacian(laplacian(f)).
 
@@ -81,6 +86,7 @@ def biharmonic_spectral(f: Array, dx: float, dy: float, *, cutoff_frac: float = 
     )
 
 
+@jax.jit
 def gaussian_smooth_periodic(f: Array, sigma_px: float) -> Array:
     """Periodic Gaussian low-pass via FFT; sigma in pixel units.
 
@@ -101,6 +107,7 @@ def gaussian_smooth_periodic(f: Array, sigma_px: float) -> Array:
 # ---------------------------------------------------------------------------
 
 
+@partial(jax.jit, static_argnames=("order",))
 def spectral_derivative_1d(f: Array, L: float, order: int = 1) -> Array:
     """n-th spectral derivative on a periodic 1-D grid of physical length L.
 
@@ -112,6 +119,7 @@ def spectral_derivative_1d(f: Array, L: float, order: int = 1) -> Array:
     return jnp.fft.ifft(((1j * k) ** order) * F).real
 
 
+@jax.jit
 def lowpass_1d(f: Array, keep_frac: float) -> Array:
     """Zero out the top (1-keep_frac) fraction of 1-D frequencies (denoise_spectral,
     notebook 10 cell 31)."""

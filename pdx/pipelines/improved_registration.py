@@ -129,9 +129,17 @@ def run(cfg: ImprovedRegistrationConfig, U_raw: np.ndarray | None = None) -> dic
     X = jnp.stack([t.reshape(-1) for t in terms], axis=1)
     y = u_t.reshape(-1)
 
-    coeffs = stridge_from_stats(
-        gram_stats(X, y), alpha=cfg.alpha, threshold=cfg.threshold, max_iter=20
-    ).coeffs
+    if jnp.dtype(X.dtype).itemsize < 8:
+        # f32 backend: the 13-term library (1, u, ..., u^3, u_x^2, ...) is too
+        # ill-conditioned for Gram normal equations (cond^2 amplification);
+        # solve via QR on the standardized design matrix instead
+        from pdx.solve.stridge import stridge_qr
+
+        coeffs = stridge_qr(X, y, alpha=cfg.alpha, threshold=cfg.threshold, max_iter=20)
+    else:
+        coeffs = stridge_from_stats(
+            gram_stats(X, y), alpha=cfg.alpha, threshold=cfg.threshold, max_iter=20
+        ).coeffs
     y_pred = X @ coeffs
     r2 = float(r2_score(y, y_pred))
 

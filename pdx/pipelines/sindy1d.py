@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass
+from functools import partial
 from typing import Any
 
 import numpy as np
@@ -57,8 +58,10 @@ class Sindy1dConfig:
     dtype: str = "float64"
 
 
+@partial(jax.jit, static_argnames=("derivative",))
 def build_library_1d(U: Array, L: float, dt: float, derivative: str) -> tuple[Array, Array]:
-    """X = [u_xx, u_xxxx, (u^2)_x] on frames U[:-1], y = forward-difference u_t."""
+    """X = [u_xx, u_xxxx, (u^2)_x] on frames U[:-1], y = forward-difference u_t.
+    Jitted: eager FFTs are unavailable on the tunneled TPU backend."""
     Uk = U[:-1]
     ut = (U[1:] - Uk) / dt
     if derivative == "spectral":
@@ -77,6 +80,7 @@ def build_library_1d(U: Array, L: float, dt: float, derivative: str) -> tuple[Ar
     return X, ut.reshape(-1)
 
 
+@partial(jax.jit, static_argnames=("method",))
 def register_1d(U: Array, method: str = "crosscorr") -> Array:
     """Integer alignment of each frame to the mean reference frame.
 
@@ -97,6 +101,7 @@ def register_1d(U: Array, method: str = "crosscorr") -> Array:
     return jax.vmap(lambda u, s: jnp.roll(u, -s))(U, shift)
 
 
+@jax.jit
 def estimate_noise_mad(U: Array) -> Array:
     """Robust noise-level estimate from the second spatial difference:
     sigma ~ 1.4826 * MAD(u[i+1] - 2 u[i] + u[i-1]) / sqrt(6).
