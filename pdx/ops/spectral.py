@@ -86,7 +86,7 @@ def biharmonic_spectral(f: Array, dx: float, dy: float, *, cutoff_frac: float = 
     )
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("sigma_px",))
 def gaussian_smooth_periodic(f: Array, sigma_px: float) -> Array:
     """Periodic Gaussian low-pass via FFT; sigma in pixel units.
 

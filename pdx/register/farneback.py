@@ -311,18 +311,23 @@ def farneback_register_sequence(
     dispatch queue with no host syncs between frames.
     """
 
-    @jax.jit
-    def _smooth_warp(mov, fx, fy):
-        fs = _blur(jnp.stack([fx, fy]), flow_smooth_ksize, flow_smooth_sigma, True)
-        return warp_flow(mov, warp_sign * fs[0], warp_sign * fs[1], border="reflect")
-
     out = [U[0]]
     ref = U[0]
+    sign = jnp.asarray(warp_sign, U.dtype)
     for i in range(1, U.shape[0]):
         fx, fy = farneback_flow(ref, U[i], **flow_kwargs)
-        ref = _smooth_warp(U[i], fx, fy)
+        ref = _smooth_warp(U[i], fx, fy, sign, flow_smooth_ksize, flow_smooth_sigma)
         out.append(ref)
     return jnp.stack(out, axis=0)
+
+
+@partial(jax.jit, static_argnames=("ksize", "sigma"))
+def _smooth_warp(mov, fx, fy, sign, ksize: int, sigma: float):
+    """Module-level (not a per-call closure): a fresh jitted closure per
+    sequence call forces a re-lowering of the full-resolution warp every
+    pipeline run."""
+    fs = _blur(jnp.stack([fx, fy]), ksize, sigma, True)
+    return warp_flow(mov, sign * fs[0], sign * fs[1], border="reflect")
 
 
 def farneback_flow_pairs(U: Array, **flow_kwargs) -> tuple[Array, Array]:

@@ -200,10 +200,17 @@ ANALYZE13 = (
 )
 
 
-@partial(jax.jit, static_argnames=("term_set", "k", "t0", "t1", "masked", "dx", "dy"))
-def _rollout_k_dense_batch(u_true, coeffs_batch, dt, spatial_mask, *, term_set, k, t0, t1, masked, dx, dy):
+@partial(jax.jit, static_argnames=("term_set", "k", "masked"))
+def _rollout_k_dense_batch_core(starts, targets, coeffs_batch, dt, dx, dy, spatial_mask,
+                                *, term_set, k, masked):
     """Per-model rollout metrics for a batch of dense coefficient vectors —
-    one dispatch covers every model family at this (k, split)."""
+    one dispatch covers every model family at this (k, split).
+
+    Start/target slicing happens in the caller and dx/dy enter as runtime
+    scalars: an earlier variant with in-jit slicing and static dx/dy compiled
+    to a program whose mere execution permanently degraded every subsequent
+    dispatch on the tunneled TPU backend (~50 ms floor per execute, 100x on
+    the registration chain); this formulation measurably does not."""
     if term_set == "real13":
         from pdx.library.dictionaries import real_image_term_fields as fields_fn
 
@@ -212,9 +219,6 @@ def _rollout_k_dense_batch(u_true, coeffs_batch, dt, spatial_mask, *, term_set, 
         from pdx.library.dictionaries import fourth_order_term_fields as fields_fn, FOURTH_ORDER_TERMS
 
         names = list(FOURTH_ORDER_TERMS)
-
-    starts = u_true[t0 : t1 - k]
-    targets = u_true[t0 + k : t1]
 
     def for_model(coeffs):
         def rhs(u):
@@ -241,6 +245,16 @@ def _rollout_k_dense_batch(u_true, coeffs_batch, dt, spatial_mask, *, term_set, 
         return rm, rm / (tstd + 1e-12)
 
     return jax.vmap(for_model)(coeffs_batch)
+
+
+def _rollout_k_dense_batch(u_true, coeffs_batch, dt, spatial_mask, *, term_set, k, t0, t1, masked, dx, dy):
+    starts = u_true[t0 : t1 - k]
+    targets = u_true[t0 + k : t1]
+    return _rollout_k_dense_batch_core(
+        starts, targets, coeffs_batch,
+        jnp.asarray(dt, u_true.dtype), jnp.asarray(dx, u_true.dtype), jnp.asarray(dy, u_true.dtype),
+        spatial_mask, term_set=term_set, k=k, masked=masked,
+    )
 
 
 def rollout_k_rmse_dense_batch(
