@@ -76,7 +76,7 @@ def load_images(
             continue
         frames.append(np.asarray(img, dtype=dtype))
     if not frames:
-        raise RuntimeError("Failed to load any images.")
+        raise RuntimeError("no readable images found in the data directory")
     return np.stack(frames, axis=0)
 
 

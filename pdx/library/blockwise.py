@@ -51,7 +51,7 @@ def build_blockwise_dataset(
     """
     bt, bx, by = int(block_t), int(block_x), int(block_y)
     if bt <= 0 or bx <= 0 or by <= 0:
-        raise ValueError("block sizes must be > 0")
+        raise ValueError("block_t/block_x/block_y must all be positive")
     T, H, W = Ut.shape
     cnt = block_counts(T, H, W, bt, bx, by, Ut.dtype)
     y_blocks = _block_reduce_sum(Ut, bt, bx, by) / cnt

@@ -61,7 +61,7 @@ def gaussian_test_functions(
     main's call site :275-276)."""
     sigma_px = float(sigma_px)
     if sigma_px <= 0:
-        raise ValueError("weak sigma_px must be > 0")
+        raise ValueError("gaussian test functions need a positive sigma_px")
     rng = np.random.default_rng(seed)
     x = np.arange(nx, dtype=np.float64)
     y = np.arange(ny, dtype=np.float64)
@@ -116,10 +116,10 @@ def build_weakform_dataset(
 
     so only the |grad u|^2 feature ever differentiates the (noisy) data."""
     if U.ndim != 3:
-        raise ValueError("U must be (T, Nx, Ny)")
+        raise ValueError("expected a (T, Nx, Ny) frame stack")
     t_len, nx, ny = U.shape
     if t_len < 2:
-        raise ValueError("Need at least 2 frames")
+        raise ValueError("weak-form targets need >= 2 frames")
     dtype = U.dtype
 
     if basis == "fourier":
@@ -130,7 +130,7 @@ def build_weakform_dataset(
     elif basis == "gaussian":
         phi = jnp.asarray(gaussian_test_functions(nx, ny, n_phi=n_phi, sigma_px=sigma_px), dtype=dtype)
     else:
-        raise ValueError("weak basis must be 'fourier' or 'gaussian'")
+        raise ValueError("unknown weak-form basis: use 'fourier' or 'gaussian'")
 
     P = phi.shape[0]
     area = float(dx * dy)

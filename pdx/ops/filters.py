@@ -31,7 +31,7 @@ def time_smooth_moving_average(U: Array, window: int) -> Array:
     if window <= 1:
         return U
     if window % 2 == 0:
-        raise ValueError("time smoothing window must be odd")
+        raise ValueError("temporal moving-average window must be an odd integer")
     pad = window // 2
     U_pad = jnp.pad(U, [(pad, pad)] + [(0, 0)] * (U.ndim - 1), mode="reflect")
     zero = jnp.zeros_like(U_pad[:1])

@@ -108,23 +108,37 @@ def fused_ks_gram(
     dx: float,
     dy: float,
     block_t: int = 8,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> dict[str, Array]:
     """Streaming dictionary+Gram for the true KS library [lap, bih, gradsq].
 
-    U and Ut are (T, H, W) aligned frame stacks (T divisible by block_t; pad
-    callers slice accordingly). float32 compute.
+    U and Ut are (T, H, W) aligned frame stacks (non-divisible T is
+    zero-frame padded — exact, see below). float32 compute.
+
+    ``interpret=None`` resolves at trace time: compiled Mosaic on TPU,
+    interpreter elsewhere (CPU has no Mosaic backend).
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     if not HAS_PALLAS:
         return fused_ks_gram_reference(U, Ut, dx, dy)
     T, H, W = U.shape
-    if T % block_t != 0:
-        # fall back: non-divisible tails are rare (callers control T)
-        return fused_ks_gram_reference(U, Ut, dx, dy)
-    n_blocks = T // block_t
+    # VMEM guard: keep each block under ~1 MB/f32 field (the kernel holds
+    # ~10 live fields + double-buffered inputs; >=40-frame 100x100 blocks
+    # exceeded the 16 MB scoped-vmem limit on v5e)
+    block_t = max(1, min(block_t, (256 * 1024) // (H * W) or 1))
     dtype = jnp.float32
     U = U.astype(dtype)
     Ut = Ut.astype(dtype)
+    pad_t = (-T) % block_t
+    if pad_t:
+        # Exact: the stencils are purely spatial, so an all-zero frame
+        # contributes zero to every accumulated statistic; n is set from the
+        # true T below.
+        zeros = jnp.zeros((pad_t, H, W), dtype)
+        U = jnp.concatenate([U, zeros], axis=0)
+        Ut = jnp.concatenate([Ut, zeros], axis=0)
+    n_blocks = (T + pad_t) // block_t
 
     kernel = partial(_kernel, dx=dx, dy=dy)
     n_out = 14

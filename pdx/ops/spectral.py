@@ -35,7 +35,7 @@ def spectral_mask(KX: Array, KY: Array, cutoff_frac: float) -> Array:
     if cutoff_frac >= 1.0:
         return jnp.ones_like(KX)
     if cutoff_frac <= 0.0:
-        raise ValueError("spectral cutoff must be > 0")
+        raise ValueError("cutoff_frac must be positive")
     k_mag = jnp.sqrt(KX**2 + KY**2)
     k_max = jnp.max(k_mag)
     return (k_mag <= cutoff_frac * k_max).astype(KX.dtype)

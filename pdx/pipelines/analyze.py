@@ -520,6 +520,19 @@ def run(cfg: AnalyzeConfig, U_raw: np.ndarray | None = None) -> dict[str, Any]:
             rollout_steps=k_list,
             use_robust=cfg.robust_regression,
         )
+        # FIG4 qualitative rollout snapshots, try/except-guarded like the
+        # reference block (analyze_results.py:1104-1230)
+        try:
+            from pdx.report.figures import qualitative_rollout_snapshots
+
+            qualitative_rollout_snapshots(
+                out_dir, u, results,
+                test_start=test_sl.start or 0, test_stop=test_sl.stop,
+                dt=dt, dx=cfg.dx, dy=cfg.dy,
+                k_default=k_eval if k_eval else 10,
+            )
+        except Exception as e:  # pragma: no cover - parity with reference guard
+            print(f"   (skipped qualitative rollout snapshot: {e})")
     return out
 
 

@@ -119,7 +119,7 @@ def run(cfg: PatchDiscoveryConfig, U_raw: np.ndarray | None = None) -> dict[str,
     rt, rs = cfg.rt, cfg.rs
     t_min, t_max = rt, t_len - rt - 1
     if t_max <= t_min + 2:
-        raise RuntimeError("Not enough frames after accounting for derivative window.")
+        raise RuntimeError("too few frames for the local-poly time radius")
     t_valid = np.arange(t_min, t_max + 1)
     split = int(np.floor(cfg.train_frac * len(t_valid)))
     t_train, t_test = t_valid[:split], t_valid[split:]

@@ -126,16 +126,33 @@ def ecc_warp(image: Array, params: Array, motion: str = "euclidean") -> Array:
     return bilinear_sample_reflect(image, xr, xc)
 
 
-def ecc_register_sequence(U: Array, *, motion: str = "euclidean", max_iter: int = 200, eps: float = 1e-6, gauss_sigma: float = 0.0) -> tuple[Array, Array]:
+def ecc_register_sequence(
+    U: Array,
+    *,
+    motion: str = "euclidean",
+    max_iter: int = 200,
+    eps: float = 1e-6,
+    gauss_sigma: float = 0.0,
+    cc_threshold: float = 0.1,
+) -> tuple[Array, Array]:
     """Sequential warp-to-previous ECC registration of a patch sequence.
 
     Parity: patch_based_sindy.py:171-196 (warp-to-previous-registered,
     quality = mean correlation coefficient). Returns (registered, qualities).
+
+    Divergence guard: the reference keeps the unregistered patch when
+    ``cv2.findTransformECC`` raises (patch_based_sindy.py:193-196). The LM
+    iteration here cannot raise, so the equivalent fallback is explicit: when
+    the final correlation coefficient is below ``cc_threshold`` or the
+    estimated params are non-finite, the frame passes through unwarped
+    (identity) and its cc is reported as-is (low cc already down-weights the
+    patch in quality-weighted aggregation).
     """
 
     def step(ref, mov):
         params, cc = ecc_align(ref, mov, motion=motion, max_iter=max_iter, eps=eps, gauss_sigma=gauss_sigma)
-        out = ecc_warp(mov, params, motion=motion)
+        ok = (cc >= cc_threshold) & jnp.all(jnp.isfinite(params))
+        out = jnp.where(ok, ecc_warp(mov, params, motion=motion), mov)
         return out, (out, cc)
 
     _, (out, ccs) = jax.lax.scan(step, U[0], U[1:])

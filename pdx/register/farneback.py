@@ -65,39 +65,39 @@ def _poly_exp(f: Array, g: Array, x: Array, invG: Array, n: int) -> tuple[Array,
     """
     gx = g * x
     gxx = g * x * x
+    taps = 2 * n + 1
+    H, W = f.shape[-2], f.shape[-1]
 
-    def corr(img, kr, kc):
-        """Separable correlation with row kernel kr and col kernel kc (reflect)."""
-        pad = [(0, 0)] * (img.ndim - 2) + [(n, n), (0, 0)]
-        p = jnp.pad(img, pad, mode="symmetric")
-        H = img.shape[-2]
-        out = jnp.zeros_like(img)
-        for i in range(2 * n + 1):
-            out = out + kr[i] * p[..., i : i + H, :]
-        pad = [(0, 0)] * (img.ndim - 2) + [(0, 0), (n, n)]
-        p = jnp.pad(out, pad, mode="symmetric")
-        W = img.shape[-1]
-        out2 = jnp.zeros_like(img)
-        for i in range(2 * n + 1):
-            out2 = out2 + kc[i] * p[..., :, i : i + W]
-        return out2
+    # Batched separable passes: one 3-channel row pass {g, gx, gxx} feeding
+    # one 6-channel col pass — 2 shifted-add sweeps total instead of 12
+    # per-moment sweeps (the per-moment version is op-count-bound on TPU,
+    # not bandwidth-bound).
+    Kr = jnp.stack([g, gx, gxx], axis=0)  # (3, taps)
+    fr = jnp.stack([f, f, f], axis=-3)  # (..., 3, H, W)
+    pad = [(0, 0)] * (fr.ndim - 2) + [(n, n), (0, 0)]
+    p = jnp.pad(fr, pad, mode="symmetric")
+    R = jnp.zeros_like(fr)
+    for i in range(taps):
+        R = R + Kr[:, i][:, None, None] * p[..., i : i + H, :]
 
-    # moments: order matters — basis [1, dr, dc, dr^2, dc^2, dr*dc]
-    m0 = corr(f, g, g)
-    m_r = corr(f, gx, g)
-    m_c = corr(f, g, gx)
-    m_rr = corr(f, gxx, g)
-    m_cc = corr(f, g, gxx)
-    m_rc = corr(f, gx, gx)
+    # moments in basis order [1, dr, dc, dr^2, dc^2, dr*dc]:
+    # (row kernel, col kernel) = (g,g) (gx,g) (g,gx) (gxx,g) (g,gxx) (gx,gx)
+    sel = jnp.asarray([0, 1, 0, 2, 0, 1])
+    Kc = jnp.stack([g, g, gx, g, gxx, gx], axis=0)  # (6, taps)
+    S = jnp.take(R, sel, axis=-3)  # (..., 6, H, W)
+    pad = [(0, 0)] * (S.ndim - 2) + [(0, 0), (n, n)]
+    p = jnp.pad(S, pad, mode="symmetric")
+    v = jnp.zeros_like(S)
+    for i in range(taps):
+        v = v + Kc[:, i][:, None, None] * p[..., :, i : i + W]
 
-    v = jnp.stack([m0, m_r, m_c, m_rr, m_cc, m_rc], axis=-1)  # (..., 6)
-    coef = jnp.einsum("kj,...j->...k", invG, v)
-    c = coef[..., 0]
-    bx = coef[..., 1]  # d/d(row)
-    by = coef[..., 2]  # d/d(col)
-    axx = coef[..., 3]
-    ayy = coef[..., 4]
-    axy = coef[..., 5]
+    coef = jnp.einsum("kj,...jhw->...khw", invG, v)
+    c = coef[..., 0, :, :]
+    bx = coef[..., 1, :, :]  # d/d(row)
+    by = coef[..., 2, :, :]  # d/d(col)
+    axx = coef[..., 3, :, :]
+    ayy = coef[..., 4, :, :]
+    axy = coef[..., 5, :, :]
     return c, bx, by, axx, ayy, axy
 
 
@@ -157,15 +157,18 @@ def _flow_iteration(exp1, exp2, flow, winsize, gaussian_win):
     xr = r + fx
     xc = c + fy
 
-    def fetch(a):
-        return bilinear_sample_reflect(a, xr, xc)
-
-    A_xx = 0.5 * (a1xx + fetch(a2xx))
-    A_yy = 0.5 * (a1yy + fetch(a2yy))
-    A_xy = 0.5 * (a1xy + fetch(a2xy))
+    # ONE batched gather for the five expansion-fetch fields: TPU gather cost
+    # is index-arithmetic-bound, so five separate 512^2 fetches cost ~61 ms
+    # where one (5, H, W) fetch costs ~13 ms (measured on v5e)
+    f_axx, f_ayy, f_axy, f_b2x, f_b2y = bilinear_sample_reflect(
+        jnp.stack([a2xx, a2yy, a2xy, b2x, b2y], axis=-3), xr, xc
+    )
+    A_xx = 0.5 * (a1xx + f_axx)
+    A_yy = 0.5 * (a1yy + f_ayy)
+    A_xy = 0.5 * (a1xy + f_axy)
     # A as 2x2: [[A_xx, A_xy/2], [A_xy/2, A_yy]]
-    db_x = -0.5 * (fetch(b2x) - b1x) + (A_xx * fx + 0.5 * A_xy * fy)
-    db_y = -0.5 * (fetch(b2y) - b1y) + (0.5 * A_xy * fx + A_yy * fy)
+    db_x = -0.5 * (f_b2x - b1x) + (A_xx * fx + 0.5 * A_xy * fy)
+    db_y = -0.5 * (f_b2y - b1y) + (0.5 * A_xy * fx + A_yy * fy)
 
     # aggregate the normal equations over the window
     a11 = A_xx * A_xx + 0.25 * A_xy * A_xy
@@ -305,10 +308,11 @@ def farneback_register_sequence(
 
     Execution note: this is a host-driven chain of per-frame jitted programs,
     NOT a lax.scan/vmap — TPU lowers the pyramid's batched gathers inside
-    scan/vmap ~100-400x slower than the single-example program (measured:
-    50 sequential jitted 512^2 flows = 0.02 s vs 3.8 s scanned / 8.2 s
-    vmapped). The dependency chain still pipelines through the async
-    dispatch queue with no host syncs between frames.
+    scan/vmap ~100-400x slower than the single-example program. Honest
+    completion time (chained dependency, one device->host read at the end,
+    NOT enqueue time): 50 sequential 512^2 flows = 9.4 s on one v5e chip
+    (~187 ms/flow; was ~630 ms/flow before the batched expansion-fetch
+    gather and batched separable moment passes).
     """
 
     out = [U[0]]

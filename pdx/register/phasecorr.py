@@ -109,7 +109,7 @@ def stabilize_translation_sequence(
     *aligned* frame — inherently sequential, expressed as lax.scan.
     """
     if mode not in {"to_first", "to_prev"}:
-        raise ValueError("stabilize mode must be 'to_first' or 'to_prev'")
+        raise ValueError("unknown stabilization mode: use 'to_first' or 'to_prev'")
     sigma = float(estimate_sigma_px)
 
     def smooth_fn(x):

@@ -106,7 +106,7 @@ def generate_presentation_figures_minimal(slides_dir: str | Path) -> list[Path]:
     ax.set_yscale("log")
     ax.set_xlabel("Horizon k")
     ax.set_ylabel("Rollout nRMSE")
-    ax.set_title("Error compounds over rollout")
+    ax.set_title("Rollout error growth over horizon k")
     ax.grid(True, alpha=0.25)
     ax.legend(frameon=False, fontsize=8)
     plt.tight_layout()
@@ -188,6 +188,137 @@ def create_method_slide(slides_dir: str | Path) -> Path:
     plt.savefig(out, dpi=200, bbox_inches="tight")
     plt.close(fig)
     return out
+
+
+def qualitative_rollout_snapshots(
+    slides_dir: str | Path,
+    u,
+    results: list[dict],
+    test_start: int,
+    test_stop: int,
+    dt: float,
+    dx: float,
+    dy: float,
+    k_default: int = 10,
+) -> list[Path]:
+    """FIG4 qualitative rollout snapshots (analyze_results.py:1104-1230).
+
+    For Models 3 and 4: |predicted - actual| error maps at horizons
+    k in {5..9, k_default} rolled out from the test-split start, rendered
+    with a shared 1-99 percentile color scale (FIG4_QUAL_ROLLOUT_K*.png),
+    plus per-k error-growth curves with the M4 map inset
+    (FIG4B_ERROR_GROWTH_PLUS_MAP_K*.png). Unlike the other generators this
+    one computes (rollouts) — it is driven from `pdx analyze` with the
+    working-grid array in hand, try/except-guarded exactly like the
+    reference block.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from pdx.validate.rollout import (
+        make_rhs_reflect,
+        rollout_k_rmse_dense,
+        rollout_predict,
+    )
+
+    slides_dir = Path(slides_dir)
+    r3 = next((r for r in results if str(r.get("name", "")).startswith("Model 3")), None)
+    r4 = next((r for r in results if str(r.get("name", "")).startswith("Model 4")), None)
+    if r3 is None or r4 is None:
+        raise RuntimeError("FIG4 needs Model 3 and Model 4 results")
+
+    u = jnp.asarray(u)
+    T = int(u.shape[0])
+    k_snaps = [k for k in range(5, 10)]
+    if int(k_default) not in k_snaps:
+        k_snaps.append(int(k_default))
+
+    def predict(r, u0, k):
+        coeffs = jnp.asarray(np.asarray(r["coeffs"], dtype=float), u.dtype)
+        rhs = make_rhs_reflect(list(r["names"]), coeffs, dx, dy)
+        return jax.jit(lambda u0: rollout_predict(rhs, u0, k, dt))(u0)
+
+    err_maps: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for k in sorted({int(k) for k in k_snaps}):
+        if k <= 0 or T <= k:
+            continue
+        t_start = max(0, min(int(test_start), T - k - 1))
+        if t_start + k >= T:
+            continue
+        u0 = u[t_start]
+        gt = np.asarray(u[t_start + k], dtype=np.float64)
+        pred4 = np.asarray(predict(r4, u0, k), dtype=np.float64)
+        pred3 = np.asarray(predict(r3, u0, k), dtype=np.float64)
+        err_maps[k] = (np.abs(gt - pred4), np.abs(gt - pred3))
+
+    if not err_maps:
+        raise RuntimeError("no valid horizons for the qualitative snapshot")
+
+    stack_err = np.stack([v for pair in err_maps.values() for v in pair], axis=0)
+    finite = np.isfinite(stack_err)
+    if finite.any():
+        vals = stack_err[finite]
+        vmin, vmax = np.percentile(vals, [1, 99])
+        if not np.isfinite(vmin) or not np.isfinite(vmax) or abs(vmax - vmin) < 1e-12:
+            vmin, vmax = float(vals.min()), float(vals.max())
+    else:
+        vmin = vmax = None
+
+    k_max = max(err_maps)
+
+    def curve(r):
+        coeffs = jnp.asarray(np.asarray(r["coeffs"], dtype=float), u.dtype)
+        return [
+            float(
+                rollout_k_rmse_dense(
+                    u, list(r["names"]), coeffs, kk, int(test_start), int(test_stop),
+                    dt, dx, dy,
+                )["nrmse"]
+            )
+            for kk in range(1, k_max + 1)
+        ]
+
+    curve4_full = curve(r4)
+    curve3_full = curve(r3)
+
+    outs: list[Path] = []
+    for k in sorted(err_maps):
+        err4, err3 = err_maps[k]
+
+        fig, axes = plt.subplots(1, 2, figsize=(9.0, 4.0))
+        for ax in axes:
+            ax.set_xticks([])
+            ax.set_yticks([])
+        im0 = axes[0].imshow(err4, cmap="magma", vmin=vmin, vmax=vmax)
+        axes[0].set_title(f"M4 |error| (k={k})")
+        axes[1].imshow(err3, cmap="magma", vmin=vmin, vmax=vmax)
+        axes[1].set_title(f"M3 |error| (k={k})")
+        fig.colorbar(im0, ax=axes, fraction=0.046, pad=0.04)
+        p = slides_dir / f"FIG4_QUAL_ROLLOUT_K{k}.png"
+        plt.savefig(p, dpi=240, bbox_inches="tight")
+        plt.close(fig)
+        outs.append(p)
+
+        ks = list(range(1, k + 1))
+        fig2, axes2 = plt.subplots(1, 2, figsize=(11.0, 4.0))
+        axes2[0].plot(ks, curve4_full[:k], marker="o", linewidth=2.0, label="M4")
+        axes2[0].plot(ks, curve3_full[:k], marker="o", linewidth=2.0, label="M3")
+        axes2[0].set_yscale("log")
+        axes2[0].set_xlabel("Horizon k")
+        axes2[0].set_ylabel("Rollout nRMSE (lower is better)")
+        axes2[0].set_title("Rollout error growth over horizon k")
+        axes2[0].grid(True, alpha=0.25)
+        axes2[0].legend(frameon=False, ncol=2)
+        im = axes2[1].imshow(err4, cmap="magma", vmin=vmin, vmax=vmax)
+        axes2[1].set_xticks([])
+        axes2[1].set_yticks([])
+        axes2[1].set_title(f"M4 |error| at k={k}")
+        fig2.colorbar(im, ax=axes2[1], fraction=0.046, pad=0.04)
+        p2 = slides_dir / f"FIG4B_ERROR_GROWTH_PLUS_MAP_K{k}.png"
+        plt.savefig(p2, dpi=240, bbox_inches="tight")
+        plt.close(fig2)
+        outs.append(p2)
+    return outs
 
 
 def create_final_figures(slides_dir: str | Path) -> list[Path]:

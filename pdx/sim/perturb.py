@@ -72,7 +72,7 @@ def _add_shifts(U: Array, rng: np.random.Generator, shift_max_px: float, mode: s
         return U
     T = U.shape[0]
     if mode not in {"constant", "jitter"}:
-        raise ValueError("shift_mode must be 'constant' or 'jitter'")
+        raise ValueError("unknown shift_mode: use 'constant' or 'jitter'")
     if mode == "constant":
         sx = float(rng.uniform(-shift_max_px, shift_max_px))
         sy = float(rng.uniform(-shift_max_px, shift_max_px))

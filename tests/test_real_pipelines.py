@@ -102,6 +102,13 @@ class TestAnalyzePipeline:
         # display names use the reference's strings
         assert "lap(u)" in comp["models"][0]["terms"]
 
+    def test_fig4_snapshots_written(self, result):
+        """FIG4 qualitative rollout panels (analyze_results.py:1104-1230)."""
+        _cfg, _out, out_dir = result
+        figs = sorted(p.name for p in out_dir.glob("FIG4*"))
+        assert any(n.startswith("FIG4_QUAL_ROLLOUT_K") for n in figs), figs
+        assert any(n.startswith("FIG4B_ERROR_GROWTH_PLUS_MAP_K") for n in figs), figs
+
     def test_models_1_and_2_identical_quirk(self, result):
         _cfg, out, _dir = result
         r1, r2 = out["results"][0], out["results"][1]

@@ -153,6 +153,35 @@ class TestECC:
         aligned = ecc_warp(jnp.asarray(mov), params, motion="translation")
         assert np.sqrt(np.mean((np.asarray(aligned)[8:-8, 8:-8] - base[8:-8, 8:-8]) ** 2)) < 0.01
 
+    def test_divergence_guard_keeps_unregistered_frame(self):
+        """Reference parity: cv2.findTransformECC failure falls back to the
+        unregistered patch (patch_based_sindy.py:193-196). The LM loop cannot
+        raise, so the guard triggers on a sub-threshold correlation
+        coefficient — an uncorrelated noise frame must pass through
+        untouched."""
+        from pdx.register.ecc import ecc_register_sequence
+
+        rng = np.random.default_rng(3)
+        base = smooth_field(n=48, sigma=4, seed=13)
+        noise = rng.normal(size=(48, 48)).astype(base.dtype)  # cc ~ 0 vs base
+        seq = jnp.asarray(np.stack([base, noise]))
+        out, ccs = ecc_register_sequence(seq, motion="euclidean", cc_threshold=0.3)
+        assert float(ccs[0]) < 0.3
+        np.testing.assert_array_equal(np.asarray(out[1]), noise)
+
+    def test_guard_does_not_block_good_alignment(self):
+        from pdx.register.ecc import ecc_register_sequence
+
+        base = smooth_field(n=64, sigma=4, seed=10)
+        mov = ndshift(base, (1.2, -0.8), mode="reflect")
+        seq = jnp.asarray(np.stack([base, mov]))
+        out, ccs = ecc_register_sequence(seq, motion="translation", cc_threshold=0.3)
+        assert float(ccs[0]) > 0.3
+        # registered frame is closer to base than the unregistered one
+        before = np.sqrt(np.mean((mov[8:-8, 8:-8] - base[8:-8, 8:-8]) ** 2))
+        after = np.sqrt(np.mean((np.asarray(out[1])[8:-8, 8:-8] - base[8:-8, 8:-8]) ** 2))
+        assert after < 0.5 * before
+
     def test_euclidean_rotation_recovery(self):
         cv2 = pytest.importorskip("cv2")
         base = smooth_field(n=80, sigma=4, seed=11).astype(np.float32)
