@@ -71,6 +71,10 @@ class PatchDiscoveryConfig:
     reference_compat_warp: bool = False
     dtype: str = "float64"
     write_artifacts: bool = True
+    # multi-chip: shard the patch axis over all visible devices ('auto'
+    # enables it when >1 device; padding patches are sliced off, so the
+    # coefficients are identical to the single-device run)
+    mesh: str = "auto"  # auto | off | on
 
 
 def patch_grid(h: int, w: int, patch: int, overlap: int) -> list[tuple[int, int]]:
@@ -181,12 +185,18 @@ def run(cfg: PatchDiscoveryConfig, U_raw: np.ndarray | None = None) -> dict[str,
 
         return jax.vmap(patch_fit)(d_tr, d_te)
 
+    # patch axis sharded over the device mesh (SURVEY §2.9 axis 1): the same
+    # jitted vmap executes with patches split across chips; padding repeats
+    # the last patch and is sliced off below, so results are identical
+    from pdx.shard.mesh import maybe_shard_leading
+
+    (d_tr, d_te), P = maybe_shard_leading((d_tr, d_te), cfg.mesh)
     coeffs, m_tr_v, m_te_v = all_patches(d_tr, d_te)
-    C = np.asarray(coeffs)  # (P, p)
+    C = np.asarray(coeffs)[:P]  # (P, p)
     # convert each (P,) metric vector once, not once per patch (each
     # np.asarray on a device array is a host round-trip)
-    m_tr_np = {k: np.asarray(v) for k, v in m_tr_v.items()}
-    m_te_np = {k: np.asarray(v) for k, v in m_te_v.items()}
+    m_tr_np = {k: np.asarray(v)[:P] for k, v in m_tr_v.items()}
+    m_te_np = {k: np.asarray(v)[:P] for k, v in m_te_v.items()}
     patch_train_metrics = [{k: float(v[i]) for k, v in m_tr_np.items()} for i in range(P)]
     patch_test_metrics = [{k: float(v[i]) for k, v in m_te_np.items()} for i in range(P)]
 

@@ -56,6 +56,8 @@ class PatchSindyConfig:
     var_suppress_factor: float = 2.0
     dtype: str = "float64"
     write_artifacts: bool = True
+    # multi-chip: shard the patch axis of the vmapped fit over all devices
+    mesh: str = "auto"  # auto | off | on
 
 
 def extract_patch_sequences(U: jnp.ndarray, patch_size: int, stride: int) -> tuple[jnp.ndarray, list[tuple[int, int]]]:
@@ -214,9 +216,16 @@ def run(cfg: PatchSindyConfig, U_raw: np.ndarray | None = None) -> dict[str, Any
     def one(seq, q):
         return discover_patch(seq, cfg, q)
 
-    coeffs, qual = jax.vmap(lambda s, q: one(s, q))(seqs, qualities)
-    C = np.asarray(coeffs)
-    Q = np.maximum(np.asarray(qual), 0.0)
+    # patch axis sharded over the device mesh (results sliced back to the
+    # true patch count, so sharded == single-device coefficients)
+    from pdx.shard.mesh import maybe_shard_leading
+
+    (seqs_s, qual_s), P_orig = maybe_shard_leading(
+        (seqs, qualities.astype(seqs.dtype)), cfg.mesh
+    )
+    coeffs, qual = jax.jit(jax.vmap(lambda s, q: one(s, q)))(seqs_s, qual_s)
+    C = np.asarray(coeffs)[:P_orig]
+    Q = np.maximum(np.asarray(qual)[:P_orig], 0.0)
 
     valid = Q > -0.5
     C, Q = C[valid], Q[valid]

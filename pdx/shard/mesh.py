@@ -35,6 +35,31 @@ def shard_batch(x: Array, mesh: Mesh, axis_name: str = "data") -> Array:
     return jax.device_put(x, NamedSharding(mesh, spec))
 
 
+def maybe_shard_leading(
+    arrs: tuple[Array, ...], mesh_mode: str = "auto", axis_name: str = "data"
+) -> tuple[tuple[Array, ...], int]:
+    """Shard the common leading (patch/member/grid) axis over all devices.
+
+    Pads to a device-count multiple by repeating the final slice — callers
+    slice results back to the returned original length, so padding never
+    changes results. No-op (and no copy) on a single device or when
+    ``mesh_mode == 'off'``. Returns (arrays, original_leading_len).
+    """
+    n_dev = jax.device_count()
+    P0 = int(arrs[0].shape[0])
+    use = mesh_mode == "on" or (mesh_mode == "auto" and n_dev > 1)
+    if not use or n_dev < 2:
+        return arrs, P0
+    pad = (-P0) % n_dev
+    mesh = make_mesh(n_dev, axis_name)
+    out = []
+    for a in arrs:
+        if pad:
+            a = jnp.concatenate([a, jnp.repeat(a[-1:], pad, axis=0)], axis=0)
+        out.append(shard_batch(a, mesh, axis_name))
+    return tuple(out), P0
+
+
 def sharded_gram_stats(
     X: Array, y: Array, mesh: Mesh, axis_name: str = "data", weights: Array | None = None
 ) -> dict[str, Array]:

@@ -78,3 +78,42 @@ class TestPipelineMesh:
         np.testing.assert_allclose(r_mesh["coeffs"], r_single["coeffs"], rtol=1e-9, atol=1e-12)
         for k in r_single["gt_errors"]:
             assert r_mesh["gt_errors"][k]["rel_err_pct"] < 1.0
+
+    def test_patch_discovery_sharded_matches_single(self, tmp_path):
+        """patch axis sharded over the 8-device virtual mesh: coefficients
+        must be identical to the single-device run (padding is sliced off)."""
+        from tests.test_real_pipelines import make_synthetic_stack
+        from pdx.pipelines.patch_discovery import PatchDiscoveryConfig, run
+
+        U = make_synthetic_stack(T=16, N=120)
+        common = dict(
+            data_dir="unused", registration=False, downsample=1, skip=6,
+            subsample=2, patch=15, overlap=7, rs=2, rt=1,
+            samples_per_patch=60, write_artifacts=False,
+        )
+        r_off = run(PatchDiscoveryConfig(**common, mesh="off"), U_raw=U)
+        r_on = run(PatchDiscoveryConfig(**common, mesh="on"), U_raw=U)
+        np.testing.assert_allclose(
+            r_on["patch_coeffs"], r_off["patch_coeffs"], rtol=1e-10, atol=1e-13
+        )
+        np.testing.assert_allclose(
+            r_on["stats"]["coeffs"], r_off["stats"]["coeffs"], rtol=1e-10, atol=1e-13
+        )
+
+    def test_patch_sindy_sharded_matches_single(self, tmp_path):
+        from tests.test_real_pipelines import make_synthetic_stack
+        from pdx.pipelines.patch_sindy import PatchSindyConfig, run
+
+        U = make_synthetic_stack(T=12, N=96).astype(np.float64) / 60000.0
+        common = dict(
+            data_dir="unused", patch_size=40, overlap=10, skip_boundary=2,
+            subsample=2, min_patches=2, write_artifacts=False,
+        )
+        r_off = run(PatchSindyConfig(**common, mesh="off"), U_raw=U)
+        r_on = run(PatchSindyConfig(**common, mesh="on"), U_raw=U)
+        # sharded layouts change f64 reduction order inside the per-patch
+        # solve; agreement is to accumulation noise, not bitwise
+        np.testing.assert_allclose(
+            r_on["patch_coeffs"], r_off["patch_coeffs"], rtol=1e-7, atol=1e-9
+        )
+        np.testing.assert_allclose(r_on["coeffs"], r_off["coeffs"], rtol=1e-7, atol=1e-9)
