@@ -520,6 +520,35 @@ def run(cfg: AnalyzeConfig, U_raw: np.ndarray | None = None) -> dict[str, Any]:
             rollout_steps=k_list,
             use_robust=cfg.robust_regression,
         )
+        # best_model_baseline.json: the best-R² model's payload (the
+        # reference's comparative/final-class generators read this optional
+        # companion file for the "approach comparison" panels; the reference
+        # produced it via manual re-runs — pdx writes it every time)
+        from pdx.io_host.artifacts import write_json
+
+        best_r2 = max(results, key=lambda r: r["r2"])
+        bd = displayed(best_r2)
+        write_json(
+            out_dir / "best_model_baseline.json",
+            {
+                "selection": "best_test_by_r2_only",
+                "name": bd["name"],
+                "r2": bd["r2"],
+                "rmse": bd["rmse"],
+                "nrmse": bd["nrmse"],
+                "corr": bd["corr"],
+                "one_step_rmse": bd["one_step_rmse"],
+                "n_active": int(bd["n_active"]),
+                "n_total": int(bd["n_total"]),
+                "equation": bd["equation"],
+                "terms": bd["names"],
+                "coeffs": [float(c) for c in bd["coeffs"]],
+                "rollout_time_test": {
+                    "steps": k_list,
+                    "metrics": {str(k): bd["rollout"].get(f"k{k}_test", {}) for k in k_list},
+                },
+            },
+        )
         # FIG4 qualitative rollout snapshots, try/except-guarded like the
         # reference block (analyze_results.py:1104-1230)
         try:

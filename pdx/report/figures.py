@@ -212,14 +212,9 @@ def qualitative_rollout_snapshots(
     working-grid array in hand, try/except-guarded exactly like the
     reference block.
     """
-    import jax
     import jax.numpy as jnp
 
-    from pdx.validate.rollout import (
-        make_rhs_reflect,
-        rollout_k_rmse_dense,
-        rollout_predict,
-    )
+    from pdx.validate.rollout import ANALYZE13, fig4_rollout_bundle
 
     slides_dir = Path(slides_dir)
     r3 = next((r for r in results if str(r.get("name", "")).startswith("Model 3")), None)
@@ -232,24 +227,33 @@ def qualitative_rollout_snapshots(
     k_snaps = [k for k in range(5, 10)]
     if int(k_default) not in k_snaps:
         k_snaps.append(int(k_default))
+    k_snaps = sorted(k for k in {int(k) for k in k_snaps} if 0 < k < T)
+    if not k_snaps:
+        raise RuntimeError("no valid horizons for the qualitative snapshot")
+    k_max = max(k_snaps)
 
-    def predict(r, u0, k):
-        coeffs = jnp.asarray(np.asarray(r["coeffs"], dtype=float), u.dtype)
-        rhs = make_rhs_reflect(list(r["names"]), coeffs, dx, dy)
-        return jax.jit(lambda u0: rollout_predict(rhs, u0, k, dt))(u0)
+    # dense 13-term coefficient vectors (both models are ANALYZE13 subsets);
+    # ONE compiled scan per shape yields every error map AND the full
+    # nRMSE-vs-k curves (a per-(model, k) formulation compiles ~20 programs)
+    dense = np.zeros((2, len(ANALYZE13)))
+    for mi, r in enumerate((r4, r3)):
+        for n, c in zip(r["names"], np.asarray(r["coeffs"], dtype=float)):
+            dense[mi, ANALYZE13.index(n)] = c
+    t_start = max(0, min(int(test_start), T - k_max - 1))
+    snap, curves = fig4_rollout_bundle(
+        u, jnp.asarray(dense, u.dtype),
+        jnp.asarray(dt, u.dtype), jnp.asarray(dx, u.dtype), jnp.asarray(dy, u.dtype),
+        k_max=k_max, t_start=t_start, t0=int(test_start), t1=int(test_stop),
+    )
+    snap = np.asarray(snap, dtype=np.float64)  # (2, k_max, H, W): [M4, M3]
+    curve4_full, curve3_full = np.asarray(curves, dtype=np.float64)
 
     err_maps: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-    for k in sorted({int(k) for k in k_snaps}):
-        if k <= 0 or T <= k:
-            continue
-        t_start = max(0, min(int(test_start), T - k - 1))
+    for k in k_snaps:
         if t_start + k >= T:
             continue
-        u0 = u[t_start]
         gt = np.asarray(u[t_start + k], dtype=np.float64)
-        pred4 = np.asarray(predict(r4, u0, k), dtype=np.float64)
-        pred3 = np.asarray(predict(r3, u0, k), dtype=np.float64)
-        err_maps[k] = (np.abs(gt - pred4), np.abs(gt - pred3))
+        err_maps[k] = (np.abs(gt - snap[0, k - 1]), np.abs(gt - snap[1, k - 1]))
 
     if not err_maps:
         raise RuntimeError("no valid horizons for the qualitative snapshot")
@@ -263,23 +267,6 @@ def qualitative_rollout_snapshots(
             vmin, vmax = float(vals.min()), float(vals.max())
     else:
         vmin = vmax = None
-
-    k_max = max(err_maps)
-
-    def curve(r):
-        coeffs = jnp.asarray(np.asarray(r["coeffs"], dtype=float), u.dtype)
-        return [
-            float(
-                rollout_k_rmse_dense(
-                    u, list(r["names"]), coeffs, kk, int(test_start), int(test_stop),
-                    dt, dx, dy,
-                )["nrmse"]
-            )
-            for kk in range(1, k_max + 1)
-        ]
-
-    curve4_full = curve(r4)
-    curve3_full = curve(r3)
 
     outs: list[Path] = []
     for k in sorted(err_maps):

@@ -257,6 +257,52 @@ def _rollout_k_dense_batch(u_true, coeffs_batch, dt, spatial_mask, *, term_set, 
     )
 
 
+@partial(jax.jit, static_argnames=("k_max", "t_start", "t0", "t1"))
+def fig4_rollout_bundle(u_true, coeffs_batch, dt, dx, dy, *, k_max, t_start, t0, t1):
+    """Everything FIG4 needs in ONE compiled program (per shape).
+
+    A per-(model, k) formulation compiles ~20 separate programs (each scan
+    length is static) — minutes of TPU compile for a qualitative figure.
+    Instead: one scan to k_max per model over [the snapshot start + every
+    test-split start], collecting intermediate states; error maps and the
+    whole nRMSE-vs-k curve are read off the same trajectory.
+
+    Returns (snap_traj[(M, k_max, H, W)], nrmse[(M, k_max)]) for dense
+    13-term coefficient vectors (ANALYZE13 order).
+    """
+    from pdx.library.dictionaries import real_image_term_fields as fields_fn
+
+    names = list(ANALYZE13)
+    starts = jnp.concatenate([u_true[t_start][None], u_true[t0 : t1 - 1]], axis=0)
+
+    def for_model(coeffs):
+        def rhs(u):
+            fields = fields_fn(u, dx, dy)
+            out = jnp.zeros_like(u)
+            for i, n in enumerate(names):
+                out = out + coeffs[i] * fields[n]
+            return out
+
+        def step(s, _):
+            s_next = s + dt * jax.vmap(rhs)(s)
+            return s_next, s_next
+
+        _, traj = jax.lax.scan(step, starts, None, length=k_max)  # (k_max, S+1, H, W)
+        snap = traj[:, 0]
+        roll = traj[:, 1:]  # (k_max, S, H, W) predictions from test starts
+        nrmses = []
+        S = t1 - t0 - 1
+        for k in range(1, k_max + 1):
+            n_valid = max(t1 - t0 - k, 1)
+            preds = roll[k - 1, :n_valid] if t1 - t0 - k >= 1 else roll[k - 1, :1]
+            targets = u_true[t0 + k : t0 + k + preds.shape[0]]
+            rm = jnp.sqrt(jnp.mean((targets - preds) ** 2))
+            nrmses.append(rm / (jnp.std(targets) + 1e-12))
+        return snap, jnp.stack(nrmses)
+
+    return jax.vmap(for_model)(coeffs_batch)
+
+
 def rollout_k_rmse_dense_batch(
     u_true: Array,
     coeffs_batch: Array,
