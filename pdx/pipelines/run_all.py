@@ -62,6 +62,22 @@ def run(cfg: RunAllConfig) -> dict[str, str]:
     create_method_slide(out_root / "slides")
     status["method_slide"] = "ok"
 
+    from pdx.report.comparative import (
+        create_comparative_final_figures,
+        create_finalclass_figures,
+        generate_presentation_figures,
+    )
+
+    patch_csv = out_root / "patch_pde" / "PATCH_PDE_COEFFS.csv"
+    create_comparative_final_figures(out_root / "slides", patch_csv)
+    status["comparative_figures"] = "ok"
+    create_finalclass_figures(out_root / "slides", patch_csv)
+    status["finalclass_figures"] = "ok"
+    generate_presentation_figures(
+        out_root / "slides", cfg.data_dir, out_root / "patch_pde" / "PATCH_PDE_REPORT.txt"
+    )
+    status["presentation_figures"] = "ok"
+
     if not cfg.skip_heavy:
         from pdx.pipelines.improved_registration import (
             ImprovedRegistrationConfig,
@@ -118,6 +134,17 @@ def run(cfg: RunAllConfig) -> dict[str, str]:
             )
         )
         status["transport"] = "ok"
+
+        # refresh the patch-dependent figure assets now that the heavy steps
+        # produced PATCH_PDE_COEFFS.csv / PATCH_PDE_REPORT.txt (the reference
+        # runs its generators before the heavy scripts and needs a second
+        # invocation for these — pdx completes them in one run)
+        create_comparative_final_figures(out_root / "slides", patch_csv)
+        create_finalclass_figures(out_root / "slides", patch_csv)
+        generate_presentation_figures(
+            out_root / "slides", cfg.data_dir, out_root / "patch_pde" / "PATCH_PDE_REPORT.txt"
+        )
+        status["figures_refresh"] = "ok"
 
     return status
 

@@ -102,6 +102,53 @@ class TestAnalyzePipeline:
         # display names use the reference's strings
         assert "lap(u)" in comp["models"][0]["terms"]
 
+    def test_comparative_figure_suites(self, result, tiff_dir):
+        """Asset-for-asset coverage of the reference's richer generators:
+        25 comparative + finalclass + presentation PNGs from the artifact
+        contract (+ raw images for fig1-3)."""
+        from pdx.report.comparative import (
+            create_comparative_final_figures,
+            create_finalclass_figures,
+            generate_presentation_figures,
+        )
+
+        _cfg, _out, out_dir = result
+        comp = create_comparative_final_figures(out_dir)
+        names = {p.name for p in comp}
+        for expect in (
+            "PRES1_MODELS_HEATMAP_WIDE.png", "PRES4_M3_VS_M4_DUMBBELL_WIDE.png",
+            "PAPER1_SCORE_STACKED_BARS_WIDE.png", "PAPER3_COEFF_HEATMAP_WIDE.png",
+            "MINI1_RANK_BARS_WIDE.png", "TRADEOFF_FIT_VS_STABILITY_SCATTER.png",
+            "FIG2_ROLLOUT_VS_HORIZON_ALL_MODELS.png", "FIG1_ALT_COMPACT_HEATMAP.png",
+            "FIG3_STABILIZATION_EFFECT.png", "FIG3B_METRIC_DISENTANGLEMENT.png",
+        ):
+            assert expect in names, expect
+        assert len(comp) == 24  # 25 minus PAPER5 (needs the patch CSV)
+
+        final = create_finalclass_figures(out_dir)
+        fnames = {p.name for p in final}
+        assert "FINAL1_PIPELINE_BARS.png" in fnames
+        assert "FINAL2_MODEL3_VS_MODEL4_DASH.png" in fnames
+        assert "FINAL3_COEFFS_COMPARISON.png" in fnames
+
+        pres = generate_presentation_figures(out_dir, tiff_dir)
+        pnames = {p.name for p in pres}
+        for expect in (
+            "fig1_data_overview.png", "fig2_motion_comparison.png",
+            "fig3_velocity_field.png", "fig4_method_comparison.png",
+            "fig5_pde_coefficients.png", "fig6_physics_schematic.png",
+        ):
+            assert expect in pnames, expect
+        # every asset is a real PNG
+        for p in list(comp) + list(final) + list(pres):
+            assert p.stat().st_size > 1000, p
+
+    def test_baseline_best_model_written(self, result):
+        _cfg, _out, out_dir = result
+        base = json.loads((out_dir / "best_model_baseline.json").read_text())
+        assert base["selection"] == "best_test_by_r2_only"
+        assert "rollout_time_test" in base and "coeffs" in base
+
     def test_fig4_snapshots_written(self, result):
         """FIG4 qualitative rollout panels (analyze_results.py:1104-1230)."""
         _cfg, _out, out_dir = result
