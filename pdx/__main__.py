@@ -200,6 +200,14 @@ def main(argv: list[str] | None = None) -> int:
     if cmd not in COMMANDS:
         print(f"error: unknown command '{cmd}'. available: {', '.join(sorted(COMMANDS))}", file=sys.stderr)
         return 2
+    # persistent compile cache on accelerators only (bench.py does the same):
+    # the TPU pipelines are compile-dominated on first run; XLA:CPU AOT cache
+    # entries can mismatch host features, so CPU stays uncached
+    import jax
+    import pdx
+
+    if jax.default_backend() not in ("cpu",):
+        pdx.enable_compilation_cache()
     return COMMANDS[cmd](argv[1:])
 
 

@@ -185,3 +185,31 @@ class TestMultiDevice:
                 a = r_single["results"][noise][m]["coef"]
                 b = r_multi["results"][noise][m]["coef"]
                 np.testing.assert_allclose(a, b, rtol=1e-10)
+
+
+class TestBatchedSolves:
+    def test_batched_matches_sequential(self):
+        """batch_solves=True walks the methods in the legacy visit order for
+        every np.random draw, so the coefficients must be IDENTICAL to the
+        sequential path."""
+        from pdx.pipelines.comprehensive import ComprehensiveConfig, run
+
+        common = dict(
+            n_seconds=0.25,
+            methods=(
+                "M01_baseline", "M02_gaussian", "M07_huber", "M09_fourier",
+                "M10_weak_form", "M11_ensemble", "M12_dmd", "M18_detrend",
+            ),
+            noises=("N2_noise",),
+            write_artifacts=False,
+            n_subsample=5_000,
+            multi_device=False,
+        )
+        r_seq = run(ComprehensiveConfig(**common, batch_solves=False))
+        r_bat = run(ComprehensiveConfig(**common, batch_solves=True))
+        for noise in r_seq["results"]:
+            for m in r_seq["results"][noise]:
+                a = np.asarray(r_seq["results"][noise][m]["coef"])
+                b = np.asarray(r_bat["results"][noise][m]["coef"])
+                np.testing.assert_allclose(b, a, rtol=1e-8, atol=1e-12, err_msg=f"{noise}/{m}")
+        assert r_bat["rankings"].keys() == r_seq["rankings"].keys()
