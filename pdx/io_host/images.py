@@ -66,15 +66,19 @@ def load_images(
             return U[: int(max_images)].astype(dtype)
         raise FileNotFoundError(f"No {pattern} files found in: {folder}")
 
-    frames = []
-    for f in files:
+    def read_one(f: Path) -> np.ndarray | None:
         if mode == "grayscale_u8" and cv2 is not None:
             img = cv2.imread(str(f), cv2.IMREAD_GRAYSCALE)
         else:
             img = _read_gray(f)
-        if img is None:
-            continue
-        frames.append(np.asarray(img, dtype=dtype))
+        return None if img is None else np.asarray(img, dtype=dtype)
+
+    # decode releases the GIL in both cv2 and PIL, so a thread pool cuts the
+    # ~25 s serial wall-clock for a 51-frame 1024x1280 stack to a few seconds
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(8, len(files))) as pool:
+        frames = [img for img in pool.map(read_one, files) if img is not None]
     if not frames:
         raise RuntimeError("no readable images found in the data directory")
     return np.stack(frames, axis=0)

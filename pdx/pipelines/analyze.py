@@ -226,7 +226,7 @@ from functools import partial as _partial
 
 import jax as _jax
 
-from pdx.validate.rollout import ANALYZE13, rollout_k_rmse_dense_batch
+from pdx.validate.rollout import ANALYZE13, rollout_curve_bundle
 
 
 def _batched_metrics(y, P):
@@ -309,16 +309,22 @@ def _run_models_batched(cfg, fields, u_t, u, train_sl, test_sl, k_list) -> list[
     m_te = {k: np.asarray(v) for k, v in m_te.items()}
     os_tr_np, os_te_np = np.asarray(os_tr), np.asarray(os_te)
 
-    # batched rollouts: one dispatch per (k, split) covering all models
-    rollouts: dict[tuple[int, str], tuple[np.ndarray, np.ndarray]] = {}
-    for k in k_list:
-        for tag, sl in (("train", train_sl), ("test", test_sl)):
-            rollouts[(k, tag)] = rollout_k_rmse_dense_batch(
-                u, coeffs_b, k, sl.start or 0, sl.stop, cfg.dt, cfg.dx, cfg.dy
+    # batched rollouts: ONE compiled program per split covers every model and
+    # every horizon (a per-(k, split) formulation compiles ~20 separate scans)
+    k_max = max(k_list) if k_list else 0
+    empty_masks = jnp.zeros((0,) + u.shape[-2:], u.dtype)
+    dt_r, dx_r, dy_r = (jnp.asarray(v, u.dtype) for v in (cfg.dt, cfg.dx, cfg.dy))
+    bundles: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for tag, sl in (("train", train_sl), ("test", test_sl)):
+        if k_max > 0 and (sl.stop - (sl.start or 0)) > 1:
+            rm, nrm = rollout_curve_bundle(
+                u, coeffs_b, dt_r, dx_r, dy_r, empty_masks,
+                k_max=k_max, t0=sl.start or 0, t1=sl.stop,
             )
-    # pull whole (M,) vectors after all dispatches are queued — per-model
-    # float() reads below would each cost a device round-trip
-    rollouts = {key: (np.asarray(a), np.asarray(b)) for key, (a, b) in rollouts.items()}
+            bundles[tag] = (np.asarray(rm), np.asarray(nrm))
+        else:
+            nanv = np.full((M, max(k_max, 1), 1), np.nan)
+            bundles[tag] = (nanv, nanv)
 
     results = []
     for mi, model_name in enumerate(model_names):
@@ -326,7 +332,10 @@ def _run_models_batched(cfg, fields, u_t, u, train_sl, test_sl, k_list) -> list[
         # project the dense coefficient vector back to the model's term order
         coeffs = np.asarray([coeffs_np[mi, superset.index(n)] for n in names])
         rollout = {
-            f"k{k}_{tag}": {"rmse": float(rollouts[(k, tag)][0][mi]), "nrmse": float(rollouts[(k, tag)][1][mi])}
+            f"k{k}_{tag}": {
+                "rmse": float(bundles[tag][0][mi, k - 1, 0]),
+                "nrmse": float(bundles[tag][1][mi, k - 1, 0]),
+            }
             for k in k_list
             for tag in ("train", "test")
         }
@@ -457,26 +466,40 @@ def run(cfg: AnalyzeConfig, U_raw: np.ndarray | None = None) -> dict[str, Any]:
     spatial_eval_tb = _spatial_holdout(cfg, fields, u_t, u, best_overall["name"], mh, mw, axis="tb")
 
     b_names, b_coeffs = best_overall["names"], best_overall["coeffs"]
-    rollout_time = {
-        k: {kk: float(vv) for kk, vv in rollout_k_rmse_dense(
-            u, b_names, b_coeffs, k, test_sl.start, test_sl.stop, dt, cfg.dx, cfg.dy
-        ).items()}
-        for k in k_list
-    }
+    # the best model's test-split curve was already computed above — reuse it
+    rollout_time = {k: dict(best_overall["rollout"][f"k{k}_test"]) for k in k_list}
+    # both spatial-mask curves from ONE compiled bundle (vs 20 per-k programs)
     lr_test_mask = _space_mask(mh, mw, cfg.space_train_frac, "lr")[1]
     tb_test_mask = _space_mask(mh, mw, cfg.space_train_frac, "tb")[1]
-    rollout_lr = {
-        k: {kk: float(vv) for kk, vv in rollout_k_rmse_dense(
-            u, b_names, b_coeffs, k, 0, mt, dt, cfg.dx, cfg.dy, lr_test_mask
-        ).items()}
-        for k in k_list
-    }
-    rollout_tb = {
-        k: {kk: float(vv) for kk, vv in rollout_k_rmse_dense(
-            u, b_names, b_coeffs, k, 0, mt, dt, cfg.dx, cfg.dy, tb_test_mask
-        ).items()}
-        for k in k_list
-    }
+    if k_list and mt > 1:
+        from pdx.library.dictionaries import FOURTH_ORDER_TERMS
+        from pdx.validate.rollout import dense_coeffs, rollout_curve_bundle
+
+        if set(b_names) <= set(ANALYZE13):
+            term_set, superset = "real13", ANALYZE13
+        else:
+            term_set, superset = "fourth25", FOURTH_ORDER_TERMS
+        dense = jnp.asarray(dense_coeffs(b_names, b_coeffs, superset)[None], u.dtype)
+        masks2 = jnp.stack(
+            [lr_test_mask.astype(u.dtype), tb_test_mask.astype(u.dtype)]
+        )
+        rm_b, nrm_b = rollout_curve_bundle(
+            u, dense,
+            jnp.asarray(dt, u.dtype), jnp.asarray(cfg.dx, u.dtype), jnp.asarray(cfg.dy, u.dtype),
+            masks2, k_max=max(k_list), t0=0, t1=mt, term_set=term_set,
+        )
+        rm_b, nrm_b = np.asarray(rm_b), np.asarray(nrm_b)
+        rollout_lr = {
+            k: {"rmse": float(rm_b[0, k - 1, 1]), "nrmse": float(nrm_b[0, k - 1, 1])}
+            for k in k_list
+        }
+        rollout_tb = {
+            k: {"rmse": float(rm_b[0, k - 1, 2]), "nrmse": float(nrm_b[0, k - 1, 2])}
+            for k in k_list
+        }
+    else:
+        rollout_lr = {k: {"rmse": float("nan"), "nrmse": float("nan")} for k in k_list}
+        rollout_tb = {k: {"rmse": float("nan"), "nrmse": float("nan")} for k in k_list}
 
     out: dict[str, Any] = {
         "config": dataclasses.asdict(cfg),

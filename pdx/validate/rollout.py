@@ -257,6 +257,85 @@ def _rollout_k_dense_batch(u_true, coeffs_batch, dt, spatial_mask, *, term_set, 
     )
 
 
+@partial(jax.jit, static_argnames=("k_max", "t0", "t1", "term_set"))
+def rollout_curve_bundle(u_true, coeffs_batch, dt, dx, dy, masks, *, k_max, t0, t1,
+                         term_set="real13"):
+    """Rollout metrics for EVERY horizon k=1..k_max, every model, and every
+    spatial mask in ONE compiled program.
+
+    The per-(model, k, mask) formulation compiles a separate scan per static
+    k — the analyze pipeline needs ~50 of them (10 horizons x 2 splits +
+    10 x 3 mask variants), each a distinct XLA program. Instead: one scan to
+    k_max per model over the maximal start set u[t0:t1-1]; step j of start s
+    is exactly the j-step Euler prediction, so every horizon's metrics are
+    read off the same trajectory (identical values to the per-k programs).
+
+    masks is (Nm, H, W); column 0 of the outputs is the unmasked metric and
+    columns 1..Nm the masked ones. Horizons with no valid start are NaN.
+    Returns (rmse, nrmse), each (M, k_max, Nm + 1).
+    """
+    if term_set == "real13":
+        from pdx.library.dictionaries import real_image_term_fields as fields_fn
+
+        names = list(ANALYZE13)
+    else:
+        from pdx.library.dictionaries import fourth_order_term_fields as fields_fn, FOURTH_ORDER_TERMS
+
+        names = list(FOURTH_ORDER_TERMS)
+    starts = u_true[t0 : t1 - 1]
+    n_masks = masks.shape[0]
+    nan = jnp.asarray(jnp.nan, u_true.dtype)
+
+    def for_model(coeffs):
+        def rhs(u):
+            fields = fields_fn(u, dx, dy)
+            out = jnp.zeros_like(u)
+            for i, n in enumerate(names):
+                out = out + coeffs[i] * fields[n]
+            return out
+
+        def step(s, _):
+            s_next = s + dt * jax.vmap(rhs)(s)
+            return s_next, s_next
+
+        _, traj = jax.lax.scan(step, starts, None, length=k_max)  # (k_max, S, H, W)
+        rm_rows, nrm_rows = [], []
+        for k in range(1, k_max + 1):
+            n_valid = t1 - t0 - k
+            if n_valid < 1:
+                rm_rows.append(jnp.full((n_masks + 1,), nan))
+                nrm_rows.append(jnp.full((n_masks + 1,), nan))
+                continue
+            preds = traj[k - 1, :n_valid]
+            targets = u_true[t0 + k : t1]
+            diff2 = (targets - preds) ** 2
+            rm = jnp.sqrt(jnp.mean(diff2))
+            row_rm = [rm]
+            row_nrm = [rm / (jnp.std(targets) + 1e-12)]
+            for mi in range(n_masks):
+                m = jnp.broadcast_to(masks[mi], diff2.shape)
+                msum = jnp.sum(m)
+                rm_m = jnp.sqrt(jnp.sum(diff2 * m) / msum)
+                tmean = jnp.sum(targets * m) / msum
+                tstd = jnp.sqrt(jnp.sum(((targets - tmean) ** 2) * m) / msum)
+                row_rm.append(rm_m)
+                row_nrm.append(rm_m / (tstd + 1e-12))
+            rm_rows.append(jnp.stack(row_rm))
+            nrm_rows.append(jnp.stack(row_nrm))
+        return jnp.stack(rm_rows), jnp.stack(nrm_rows)
+
+    return jax.vmap(for_model)(coeffs_batch)
+
+
+def dense_coeffs(names: list[str], coeffs, superset) -> np.ndarray:
+    """Scatter a model's coefficient vector into the dense superset order."""
+    cvals = np.asarray(coeffs)
+    dense = np.zeros((len(superset),))
+    for i, n in enumerate(names):
+        dense[list(superset).index(n)] = cvals[i]
+    return dense
+
+
 @partial(jax.jit, static_argnames=("k_max", "t_start", "t0", "t1"))
 def fig4_rollout_bundle(u_true, coeffs_batch, dt, dx, dy, *, k_max, t_start, t0, t1):
     """Everything FIG4 needs in ONE compiled program (per shape).
