@@ -104,6 +104,9 @@ class Ks2dBenchConfig:
     weak_motion_est_sigma: float = 0.0
     weak_motion_smooth: int = 7
     weak_motion_clip_px: float = -1.0
+    # 'spectral' = reference-parity quadrature; 'fd' = discrete-adjoint
+    # stencil columns consistent with the FD simulator (see weakform.py)
+    weak_operator: str = "spectral"
     # blockwise
     block_t: int = 3
     block_x: int = 8
@@ -221,6 +224,7 @@ def build_dataset(cfg: Ks2dBenchConfig, fr: dict[str, Any], rng: np.random.Gener
             motion_smooth_window=cfg.weak_motion_smooth,
             motion_clip_px=clip_px if clip_px > 0 else None,
             dictionary=cfg.dictionary,
+            operator=cfg.weak_operator,
         )
         n_total = int(y_all.shape[0])
         n_sample = int(min(cfg.n_sample, n_total))
