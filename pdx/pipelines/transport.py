@@ -127,37 +127,56 @@ def run(cfg: TransportConfig, U_raw: np.ndarray | None = None) -> dict[str, Any]
 
     import jax
 
+    # the whole discovery — library build, finite-row masking, the full
+    # Lasso alpha sweep, and fit metrics — is ONE jitted dispatch; only the
+    # (n_alpha, p) coefficients and a handful of scalars ever cross the
+    # tunnel (materializing X on the host for the finite filter moved a
+    # ~200 MB design matrix through the device link twice)
     @jax.jit
-    def build_Xy(imgs_ds, flow_u, flow_v):
+    def discover(imgs_ds, flow_u, flow_v, alphas_arr):
         library, target = build_transport_library(imgs_ds, flow_u, flow_v, cfg)
         if cfg.spatial_smooth > 0:
             library = {k: gaussian_filter_reflect(v, cfg.spatial_smooth) for k, v in library.items()}
             target = gaussian_filter_reflect(target, cfg.spatial_smooth)
         X = jnp.stack([library[n].reshape(-1) for n in TERM_NAMES], axis=1)
-        return X, target.reshape(-1)
+        y = target.reshape(-1)
+        finite = jnp.isfinite(X).all(axis=1) & jnp.isfinite(y)
+        mask = finite.astype(X.dtype)
+        X = jnp.where(finite[:, None], X, 0.0)
+        y = jnp.where(finite, y, 0.0)
+        n_eff = jnp.sum(mask)
+        y_mean = jnp.sum(y * mask) / n_eff
+        ss_tot = jnp.sum(((y - y_mean) * mask) ** 2)
 
-    X, y = build_Xy(imgs_ds, flow_u, flow_v)
-    valid = np.isfinite(np.asarray(X)).all(axis=1) & np.isfinite(np.asarray(y))
-    X = jnp.asarray(np.asarray(X)[valid])
-    y = jnp.asarray(np.asarray(y)[valid])
+        def one(alpha):
+            coef, intercept = lasso_ista(X, y, alpha, max_iter=5000, row_mask=mask)
+            resid = (y - (X @ coef + intercept)) * mask
+            ss_res = jnp.sum(resid**2)
+            return coef, intercept, ss_res, jnp.sum(jnp.abs(resid)) / n_eff
+
+        coefs, intercepts, ss_res_v, mae_v = jax.vmap(one)(alphas_arr)
+        return coefs, intercepts, ss_res_v, mae_v, ss_tot, n_eff
+
+    alphas_arr = jnp.asarray(cfg.alphas, dtype=imgs_ds.dtype)
+    coefs, intercepts, ss_res_v, mae_v, ss_tot, n_eff = discover(
+        imgs_ds, flow_u, flow_v, alphas_arr
+    )
+    coefs = np.asarray(coefs)
+    intercepts = np.asarray(intercepts)
+    ss_res_v, mae_v = np.asarray(ss_res_v), np.asarray(mae_v)
+    ss_tot, n_eff = float(ss_tot), float(n_eff)
 
     results = {}
-    for alpha in cfg.alphas:
-        coef, intercept = lasso_ista(X, y, float(alpha), max_iter=5000)
-        y_pred = X @ coef + intercept
-        resid = y - y_pred
-        ss_res = float(jnp.sum(resid**2))
-        ss_tot = float(jnp.sum((y - jnp.mean(y)) ** 2))
-        active = [
-            (n, float(c)) for n, c in zip(TERM_NAMES, np.asarray(coef)) if abs(float(c)) > 1e-10
-        ]
+    for ai, alpha in enumerate(cfg.alphas):
+        coef = coefs[ai]
+        active = [(n, float(c)) for n, c in zip(TERM_NAMES, coef) if abs(float(c)) > 1e-10]
         results[float(alpha)] = {
-            "coefficients": np.asarray(coef),
-            "intercept": float(intercept),
+            "coefficients": coef,
+            "intercept": float(intercepts[ai]),
             "active_terms": active,
-            "r2": 1.0 - ss_res / ss_tot,
-            "mse": float(jnp.mean(resid**2)),
-            "mae": float(jnp.mean(jnp.abs(resid))),
+            "r2": 1.0 - float(ss_res_v[ai]) / ss_tot,
+            "mse": float(ss_res_v[ai]) / n_eff,
+            "mae": float(mae_v[ai]),
         }
 
     mean_speed = float(jnp.mean(jnp.sqrt(flow_u**2 + flow_v**2)))
@@ -166,7 +185,7 @@ def run(cfg: TransportConfig, U_raw: np.ndarray | None = None) -> dict[str, Any]
         "term_names": TERM_NAMES,
         "results": results,
         "mean_flow_speed": mean_speed,
-        "n_samples": int(y.shape[0]),
+        "n_samples": int(n_eff),
     }
     if cfg.write_artifacts:
         from pathlib import Path

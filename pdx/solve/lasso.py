@@ -32,16 +32,27 @@ def lasso_ista(
     max_iter: int = 2000,
     tol: float = 1e-8,
     fit_intercept: bool = True,
+    row_mask: Array | None = None,
 ) -> tuple[Array, Array]:
     """FISTA for the sklearn Lasso objective. Returns (coef, intercept).
 
     With fit_intercept, X and y are centered first (the sklearn strategy);
     the intercept is recovered as y_mean - x_mean @ coef.
+
+    row_mask (float 0/1 per row) fits on the masked subset with static
+    shapes — equivalent to dropping the zero-weight rows, so callers can
+    filter non-finite samples on device instead of round-tripping the design
+    matrix through the host. Masked-out rows must already hold finite
+    values (zero them where the mask is zero).
     """
-    n = X.shape[0]
+    n = X.shape[0] if row_mask is None else jnp.sum(row_mask)
     if fit_intercept:
-        x_mean = jnp.mean(X, axis=0)
-        y_mean = jnp.mean(y)
+        if row_mask is None:
+            x_mean = jnp.mean(X, axis=0)
+            y_mean = jnp.mean(y)
+        else:
+            x_mean = (row_mask @ X) / n
+            y_mean = jnp.sum(row_mask * y) / n
         Xc = X - x_mean
         yc = y - y_mean
     else:
@@ -49,6 +60,9 @@ def lasso_ista(
         y_mean = jnp.asarray(0.0, dtype=X.dtype)
         Xc = X
         yc = y
+    if row_mask is not None:
+        Xc = Xc * row_mask[:, None]
+        yc = yc * row_mask
 
     G = Xc.T @ Xc / n
     b = Xc.T @ yc / n
