@@ -53,6 +53,13 @@ def main() -> None:
         "stridge_fits_per_sec": _stridge_fits_per_sec(),
     }
     try:
+        details["patch_ensemble_seconds_warm"] = _patch_ensemble_seconds()
+        details["north_star_combined_seconds"] = (
+            elapsed + details["patch_ensemble_seconds_warm"]
+        )
+    except Exception as e:  # keep the headline metric robust
+        details["patch_ensemble_error"] = str(e)
+    try:
         import pathlib
 
         out = pathlib.Path("outputs/bench_details.json")
@@ -71,6 +78,37 @@ def main() -> None:
             }
         )
     )
+
+
+def _patch_ensemble_seconds() -> float:
+    """Real-image half of the BASELINE.md:35 north star: the patch-ensemble
+    discovery pipeline (registration -> patch grid -> local-poly fits ->
+    stability aggregation) on a synthetic 51-frame stack, timed warm
+    in-process.
+
+    No real TIFFs ship with either repo, so the stack is generated in
+    memory at half the real dataset's resolution (512x640 vs ~1024x1280) to
+    keep the bench bounded; the pipeline and its dispatch structure are
+    identical at both sizes.
+    """
+    import sys
+    import time
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    import numpy as np
+
+    from tools.make_synth_stack import make_stack
+    from pdx.pipelines.patch_discovery import PatchDiscoveryConfig, run as pd_run
+
+    U = make_stack(T=51, H=512, W=640).astype(np.float64)
+    cfg = PatchDiscoveryConfig(
+        data_dir="unused", write_artifacts=False, skip=12, subsample=6
+    )
+    pd_run(cfg, U_raw=U)  # warmup: compiles land in the persistent cache
+    t0 = time.perf_counter()
+    pd_run(cfg, U_raw=U)
+    return time.perf_counter() - t0
 
 
 def _stridge_fits_per_sec(n_fits: int = 8192, p: int = 9, n_rows: int = 2048) -> float:
