@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass
+from functools import partial
 from pathlib import Path
 from typing import Any
 
@@ -60,16 +61,32 @@ class PatchSindyConfig:
     mesh: str = "auto"  # auto | off | on
 
 
-def extract_patch_sequences(U: jnp.ndarray, patch_size: int, stride: int) -> tuple[jnp.ndarray, list[tuple[int, int]]]:
-    """(n_patches, T, ps, ps) patch sequences + top-left coords."""
-    T, H, W = U.shape
-    coords = [
+def _grid_coords(H: int, W: int, patch_size: int, stride: int) -> list[tuple[int, int]]:
+    return [
         (y, x)
         for y in range(0, H - patch_size + 1, stride)
         for x in range(0, W - patch_size + 1, stride)
     ]
-    seqs = jnp.stack([U[:, y : y + patch_size, x : x + patch_size] for y, x in coords])
-    return seqs, coords
+
+
+@partial(jax.jit, static_argnames=("patch_size", "stride"))
+def _extract_impl(U, *, patch_size: int, stride: int):
+    T, H, W = U.shape
+    return jnp.stack(
+        [U[:, y : y + patch_size, x : x + patch_size] for y, x in _grid_coords(H, W, patch_size, stride)]
+    )
+
+
+def extract_patch_sequences(U: jnp.ndarray, patch_size: int, stride: int) -> tuple[jnp.ndarray, list[tuple[int, int]]]:
+    """(n_patches, T, ps, ps) patch sequences + top-left coords.
+
+    One compiled program: the eager formulation dispatched a slice per patch
+    plus a ~3P-primitive stack."""
+    T, H, W = U.shape
+    coords = _grid_coords(H, W, patch_size, stride)
+    if not coords:
+        return jnp.zeros((0, T, patch_size, patch_size), U.dtype), coords
+    return _extract_impl(U, patch_size=patch_size, stride=stride), coords
 
 
 def _patch_library(u: jnp.ndarray, dx: float, dy: float) -> jnp.ndarray:
@@ -128,6 +145,39 @@ def discover_patch(
     return coeffs, quality
 
 
+@jax.jit
+def _ecc_one(seqs, i):
+    seq = jax.lax.dynamic_index_in_dim(seqs, i, 0, keepdims=False)
+    out, ccs = ecc_register_sequence(seq, motion="euclidean", gauss_sigma=1.0)
+    return out, jnp.mean(ccs)
+
+
+@jax.jit
+def _patch_frame(seqs, pi, t):
+    return jax.lax.dynamic_index_in_dim(
+        jax.lax.dynamic_index_in_dim(seqs, pi, 0, keepdims=False), t, 0, keepdims=False
+    )
+
+
+@jax.jit
+def _mean_stack(*xs):
+    return jnp.mean(jnp.stack(xs))
+
+
+@jax.jit
+def _flow_warp_step(seqs, prev, pi, t):
+    from pdx.register.farneback import farneback_flow
+    from pdx.ops.interp import warp_flow
+
+    cur = _patch_frame(seqs, pi, t)
+    fx, fy = farneback_flow(
+        prev, cur, levels=3, winsize=15, iterations=5,
+        poly_n=7, poly_sigma=1.5, gaussian_win=False,
+    )
+    warped = warp_flow(cur, fx, fy, border="reflect")
+    return warped, 1.0 / (jnp.mean(jnp.sqrt(fx**2 + fy**2)) + 1.0)
+
+
 def run(cfg: PatchSindyConfig, U_raw: np.ndarray | None = None) -> dict[str, Any]:
     from pdx.utils.precision import resolve_dtype
 
@@ -171,45 +221,39 @@ def run(cfg: PatchSindyConfig, U_raw: np.ndarray | None = None) -> dict[str, Any
 
     P = seqs.shape[0]
     if cfg.registration_method == "ecc":
-        @jax.jit
-        def reg_one(seq):
-            out, ccs = ecc_register_sequence(seq, motion="euclidean", gauss_sigma=1.0)
-            return out, jnp.mean(ccs)
-
         # host loop over patches: the ECC warp gathers + while_loops degrade
-        # badly under vmap on TPU (see farneback_register_sequence)
-        pairs = [reg_one(seqs[i]) for i in range(P)]
-        seqs = jnp.stack([p[0] for p in pairs])
-        qualities = jnp.stack([p[1] for p in pairs])
+        # badly under vmap on TPU (see farneback_register_sequence); patch
+        # selection is a dynamic index inside the jitted step (an eager
+        # seqs[i] per patch is a separate device dispatch)
+        from pdx.register.farneback import stack_frames
+
+        pairs = [_ecc_one(seqs, jnp.asarray(i, jnp.int32)) for i in range(P)]
+        seqs = stack_frames(*[p[0] for p in pairs])
+        qualities = stack_frames(*[p[1] for p in pairs])
     elif cfg.registration_method == "optical_flow":
         # per-patch warp-to-previous Farnebäck, quality = 1/(1 + mean |flow|)
         # (patch_based_sindy.py:198-221); host-chained jitted flows per frame
-        # (vmap/scan gather pathology — see farneback_register_sequence)
-        from pdx.register.farneback import farneback_flow
-        from pdx.ops.interp import warp_flow
-
-        @jax.jit
-        def warp_q(mov, fx, fy):
-            warped = warp_flow(mov, fx, fy, border="reflect")
-            return warped, 1.0 / (jnp.mean(jnp.sqrt(fx**2 + fy**2)) + 1.0)
+        # (vmap/scan gather pathology — see farneback_register_sequence).
+        # All indexing is dynamic inside ONE jitted step: the eager
+        # seq[t]-per-frame formulation cost P*T extra device dispatches.
+        from pdx.register.farneback import stack_frames
 
         new_seqs, qualities = [], []
+        T_seq = int(seqs.shape[1])
         for pi in range(P):
-            seq = seqs[pi]
-            frames = [seq[0]]
+            prev = _patch_frame(seqs, jnp.asarray(pi, jnp.int32), jnp.asarray(0, jnp.int32))
+            frames = [prev]
             qs = []
-            for t in range(1, seq.shape[0]):
-                fx, fy = farneback_flow(
-                    frames[-1], seq[t], levels=3, winsize=15, iterations=5,
-                    poly_n=7, poly_sigma=1.5, gaussian_win=False,
+            for t in range(1, T_seq):
+                prev, q = _flow_warp_step(
+                    seqs, prev, jnp.asarray(pi, jnp.int32), jnp.asarray(t, jnp.int32)
                 )
-                warped, q = warp_q(seq[t], fx, fy)
-                frames.append(warped)
+                frames.append(prev)
                 qs.append(q)
-            new_seqs.append(jnp.stack(frames))
-            qualities.append(jnp.mean(jnp.stack(qs)))
-        seqs = jnp.stack(new_seqs)
-        qualities = jnp.stack(qualities)
+            new_seqs.append(stack_frames(*frames))
+            qualities.append(_mean_stack(*qs))
+        seqs = stack_frames(*new_seqs)
+        qualities = stack_frames(*qualities)
     else:
         qualities = jnp.ones((P,), dtype=dtype)
 

@@ -315,14 +315,42 @@ def farneback_register_sequence(
     gather and batched separable moment passes).
     """
 
-    out = [U[0]]
-    ref = U[0]
     sign = jnp.asarray(warp_sign, U.dtype)
+    flow_static = tuple(sorted(flow_kwargs.items()))
+    ref = _first_frame(U)
+    out = [ref]
     for i in range(1, U.shape[0]):
-        fx, fy = farneback_flow(ref, U[i], **flow_kwargs)
-        ref = _smooth_warp(U[i], fx, fy, sign, flow_smooth_ksize, flow_smooth_sigma)
+        # frame selection happens INSIDE the jitted step (dynamic index):
+        # an eager U[i] per frame is a separate device op — ~50 dispatches
+        # on the TPU tunnel, and ~80 ms each through this host's eager CPU
+        # path (measured 16 s of a 21 s patch-discovery run)
+        ref = _register_step(
+            U, ref, jnp.asarray(i, jnp.int32), sign,
+            ksize=flow_smooth_ksize, sigma=flow_smooth_sigma, flow_static=flow_static,
+        )
         out.append(ref)
-    return jnp.stack(out, axis=0)
+    return stack_frames(*out)
+
+
+@jax.jit
+def _first_frame(U):
+    return U[0]
+
+
+@jax.jit
+def stack_frames(*frames):
+    """jnp.stack as one compiled program: the eager stack lowers to ~150
+    broadcast/concat primitives, each a separate dispatch (measured 5.3 s
+    for 51 frames through this host's eager path)."""
+    return jnp.stack(frames, axis=0)
+
+
+@partial(jax.jit, static_argnames=("ksize", "sigma", "flow_static"))
+def _register_step(U, ref, i, sign, *, ksize: int, sigma: float, flow_static):
+    cur = jax.lax.dynamic_index_in_dim(U, i, 0, keepdims=False)
+    fx, fy = farneback_flow(ref, cur, **dict(flow_static))
+    fs = _blur(jnp.stack([fx, fy]), ksize, sigma, True)
+    return warp_flow(cur, sign * fs[0], sign * fs[1], border="reflect")
 
 
 @partial(jax.jit, static_argnames=("ksize", "sigma"))
@@ -341,8 +369,21 @@ def farneback_flow_pairs(U: Array, **flow_kwargs) -> tuple[Array, Array]:
     Pairs are independent, but a vmapped pyramid is ~400x slower than
     sequentially dispatched single-example programs on TPU (batched gathers
     lower badly — see farneback_register_sequence); the per-pair jitted calls
-    pipeline through the async dispatch queue instead."""
-    outs = [farneback_flow(U[i], U[i + 1], **flow_kwargs) for i in range(U.shape[0] - 1)]
-    fx = jnp.stack([o[0] for o in outs])
-    fy = jnp.stack([o[1] for o in outs])
+    pipeline through the async dispatch queue instead. Frame selection is a
+    dynamic index inside the jitted step (2 eager slices per pair would cost
+    ~100 extra dispatches on the tunnel)."""
+    flow_static = tuple(sorted(flow_kwargs.items()))
+    outs = [
+        _pair_flow(U, jnp.asarray(i, jnp.int32), flow_static=flow_static)
+        for i in range(U.shape[0] - 1)
+    ]
+    fx = stack_frames(*[o[0] for o in outs])
+    fy = stack_frames(*[o[1] for o in outs])
     return fx, fy
+
+
+@partial(jax.jit, static_argnames=("flow_static",))
+def _pair_flow(U, i, *, flow_static):
+    a = jax.lax.dynamic_index_in_dim(U, i, 0, keepdims=False)
+    b = jax.lax.dynamic_index_in_dim(U, i + 1, 0, keepdims=False)
+    return farneback_flow(a, b, **dict(flow_static))
