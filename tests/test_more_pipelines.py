@@ -186,8 +186,14 @@ class TestRunAllAndFigures:
         status = run(cfg)
         assert status["analyze"] == "ok"
         assert status["figures_minimal"] == "ok"
+        assert status["comparative_figures"] == "ok"
+        assert status["finalclass_figures"] == "ok"
+        assert status["presentation_figures"] == "ok"
         arts = list_artifacts(tmp_path)
         assert "slides/best_model.json" in arts
+        assert any(a.endswith("PRES1_MODELS_HEATMAP_WIDE.png") for a in arts)
+        assert any(a.endswith("FINAL1_PIPELINE_BARS.png") for a in arts)
+        assert any(a.endswith("fig1_data_overview.png") for a in arts)
         assert any(a.endswith("FIG1_MODEL_COMPARISON.png") for a in arts)
         assert any(a.endswith("SLIDE3_RESULTS.png") for a in arts)
         assert any(a.endswith("SLIDE_METHOD.png") for a in arts)

@@ -1,0 +1,98 @@
+"""Wall-clock harness for the real-image pipelines on the current backend.
+
+Times each CLI-equivalent pipeline run in-process (cold = first pass in a
+fresh interpreter state, warm = second pass with compiled programs cached),
+against a reference-scale synthetic TIFF stack (none of the real 51-frame
+laser-matter TIFFs ship with either repo; `tools/make_synth_stack.py`
+reproduces their shape contract).
+
+Usage:
+    python tools/real_bench.py [STACK_DIR] [--out OUT.json]
+
+Reference CPU baselines for the same stack (measured 2026-08-16 on this
+host, scripts run from an unmodified checkout): analyze_results.py 97.8 s,
+patch_based_pde_discovery.py 215.5 s, patch_based_sindy.py 268.9 s,
+transport_pde_discovery.py 276.4 s.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+REF_CPU = {
+    "analyze": 97.8,
+    "patch_discover": 215.5,
+    "patch_sindy": 268.9,
+    "transport": 276.4,
+}
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    stack_dir = Path(args[0]) if args else Path("/tmp/synth51")
+    out_path = None
+    for i, a in enumerate(sys.argv[1:]):
+        if a == "--out":
+            out_path = Path(sys.argv[1:][i + 1])
+
+    import jax
+    import pdx
+
+    if jax.default_backend() not in ("cpu",):
+        pdx.enable_compilation_cache()
+
+    if not stack_dir.exists() or not list(stack_dir.glob("*.tif")):
+        from tools.make_synth_stack import make_stack
+        from PIL import Image
+
+        stack_dir.mkdir(parents=True, exist_ok=True)
+        for i, frame in enumerate(make_stack()):
+            Image.fromarray(frame).save(stack_dir / f"frame_{i:03d}.tif")
+
+    from pdx.pipelines.analyze import AnalyzeConfig, run as an_run
+    from pdx.pipelines.patch_discovery import PatchDiscoveryConfig, run as pd_run
+    from pdx.pipelines.patch_sindy import PatchSindyConfig, run as ps_run
+    from pdx.pipelines.transport import TransportConfig, run as tr_run
+
+    d = str(stack_dir)
+    jobs = {
+        "analyze": lambda o: an_run(AnalyzeConfig(data_dir=d, output_dir=o)),
+        "patch_discover": lambda o: pd_run(PatchDiscoveryConfig(data_dir=d, output_dir=o)),
+        "patch_sindy": lambda o: ps_run(
+            PatchSindyConfig(data_dir=d, output_dir=o, registration_method="optical_flow")
+        ),
+        "transport": lambda o: tr_run(TransportConfig(data_dir=d, output_dir=o)),
+    }
+
+    results: dict[str, dict] = {}
+    for name, job in jobs.items():
+        times = []
+        for p in ("cold", "warm"):
+            t0 = time.perf_counter()
+            try:
+                job(f"/tmp/real_bench_out/{name}_{p}")
+                times.append(time.perf_counter() - t0)
+            except Exception as e:
+                results[name] = {"error": f"{type(e).__name__}: {e}"}
+                break
+        else:
+            results[name] = {
+                "cold_s": round(times[0], 1),
+                "warm_s": round(times[1], 1),
+                "ref_cpu_s": REF_CPU[name],
+                "speedup_warm": round(REF_CPU[name] / times[1], 2),
+            }
+        print(f"{name}: {results[name]}", flush=True)
+
+    results["backend"] = jax.default_backend()
+    if out_path:
+        out_path.write_text(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()
