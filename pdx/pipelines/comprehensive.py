@@ -510,7 +510,10 @@ def _run_methods_batched(
                              "error_msg": str(e)}
         times[name] = time.time() - t0
 
-    # one vmapped dispatch per family
+    # one vmapped dispatch per family, method axis sharded over the device
+    # mesh when one is available (SURVEY §2.9: the benchmark-matrix axis)
+    from pdx.shard.mesh import maybe_shard_leading
+
     for fam, use_fourier in (("fd", False), ("fourier", True)):
         jobs = family[fam]
         if not jobs:
@@ -519,7 +522,10 @@ def _run_methods_batched(
         try:
             U_stack = jnp.stack([j[1] for j in jobs])
             idx_stack = jnp.stack([j[2] for j in jobs])
-            coefs = _batched_ridge_family(U_stack, idx_stack, dx, dt_frame, use_fourier, margin)
+            (U_stack, idx_stack), n_jobs = maybe_shard_leading(
+                (U_stack, idx_stack), "auto" if cfg.multi_device else "off"
+            )
+            coefs = _batched_ridge_family(U_stack, idx_stack, dx, dt_frame, use_fourier, margin)[:n_jobs]
             for vi, (name, _d, _i) in enumerate(jobs):
                 singles[name] = coefs[vi]
         except Exception as e:

@@ -213,3 +213,28 @@ class TestBatchedSolves:
                 b = np.asarray(r_bat["results"][noise][m]["coef"])
                 np.testing.assert_allclose(b, a, rtol=1e-8, atol=1e-12, err_msg=f"{noise}/{m}")
         assert r_bat["rankings"].keys() == r_seq["rankings"].keys()
+
+    def test_batched_sharded_matches_unsharded(self):
+        """The batched ridge family's method axis sharded over the 8-device
+        virtual mesh must reproduce the single-device coefficients (padding
+        methods are sliced off)."""
+        from pdx.pipelines.comprehensive import ComprehensiveConfig, run
+
+        common = dict(
+            n_seconds=0.25,
+            methods=("M01_baseline", "M02_gaussian", "M09_fourier",
+                     "M12_dmd", "M18_detrend", "M21_detrend_multiscale"),
+            noises=("N2_noise",),
+            write_artifacts=False,
+            n_subsample=4_000,
+            batch_solves=True,
+        )
+        r_off = run(ComprehensiveConfig(**common, multi_device=False))
+        r_on = run(ComprehensiveConfig(**common, multi_device=True))
+        for noise in r_off["results"]:
+            for m in r_off["results"][noise]:
+                np.testing.assert_allclose(
+                    r_on["results"][noise][m]["coef"],
+                    r_off["results"][noise][m]["coef"],
+                    rtol=1e-9, atol=1e-12, err_msg=f"{noise}/{m}",
+                )
