@@ -101,6 +101,29 @@ def feature_matrix(derivs: jnp.ndarray, names: list[str]) -> jnp.ndarray:
     return jnp.stack([fields[n] for n in names], axis=1)
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("names", "alpha", "threshold"))
+def _all_patch_fits(d_tr, d_te, *, names, alpha, threshold):
+    """Vmapped per-patch STRidge fits as one MODULE-LEVEL compiled program
+    (a jit built inside run() recompiles on every pipeline call)."""
+
+    def patch_fit(dtr, dte):
+        X_tr = feature_matrix(dtr, list(names))
+        y_tr = dtr[:, 1]
+        X_te = feature_matrix(dte, list(names))
+        y_te = dte[:, 1]
+        c = stridge_from_stats(
+            gram_stats(X_tr, y_tr), alpha=alpha, threshold=threshold, max_iter=25
+        ).coeffs
+        m_tr = regression_metrics(y_tr, X_tr @ c)
+        m_te = regression_metrics(y_te, X_te @ c)
+        return c, m_tr, m_te
+
+    return jax.vmap(patch_fit)(d_tr, d_te)
+
+
 def run(cfg: PatchDiscoveryConfig, U_raw: np.ndarray | None = None) -> dict[str, Any]:
     from pdx.utils.precision import resolve_dtype
 
@@ -169,29 +192,15 @@ def run(cfg: PatchDiscoveryConfig, U_raw: np.ndarray | None = None) -> dict[str,
     d_tr = lp(train_pts).reshape(P, n_s, 6)
     d_te = lp(test_pts).reshape(P, n_te, 6)
 
-    @jax.jit
-    def all_patches(d_tr, d_te):
-        def patch_fit(dtr, dte):
-            X_tr = feature_matrix(dtr, names)
-            y_tr = dtr[:, 1]
-            X_te = feature_matrix(dte, names)
-            y_te = dte[:, 1]
-            c = stridge_from_stats(
-                gram_stats(X_tr, y_tr), alpha=cfg.alpha, threshold=cfg.threshold, max_iter=25
-            ).coeffs
-            m_tr = regression_metrics(y_tr, X_tr @ c)
-            m_te = regression_metrics(y_te, X_te @ c)
-            return c, m_tr, m_te
-
-        return jax.vmap(patch_fit)(d_tr, d_te)
-
     # patch axis sharded over the device mesh (SURVEY §2.9 axis 1): the same
     # jitted vmap executes with patches split across chips; padding repeats
     # the last patch and is sliced off below, so results are identical
     from pdx.shard.mesh import maybe_shard_leading
 
     (d_tr, d_te), P = maybe_shard_leading((d_tr, d_te), cfg.mesh)
-    coeffs, m_tr_v, m_te_v = all_patches(d_tr, d_te)
+    coeffs, m_tr_v, m_te_v = _all_patch_fits(
+        d_tr, d_te, names=tuple(names), alpha=cfg.alpha, threshold=cfg.threshold
+    )
     C = np.asarray(coeffs)[:P]  # (P, p)
     # convert each (P,) metric vector once, not once per patch (each
     # np.asarray on a device array is a host round-trip)

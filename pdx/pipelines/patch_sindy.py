@@ -107,8 +107,15 @@ def discover_patch(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-patch central-difference dataset + ridge (fit_intercept=False)
     standardized fit (patch_based_sindy.py:265-364). Returns (coeffs, quality)."""
+    return _discover_patch_impl(
+        seq, reg_quality,
+        dt=cfg.dt, dx=cfg.dx, dy=cfg.dy, alpha=cfg.alpha,
+        sb=cfg.skip_boundary, sub=cfg.subsample,
+    )
+
+
+def _discover_patch_impl(seq, reg_quality, *, dt, dx, dy, alpha, sb, sub):
     T, ps, _ = seq.shape
-    sb, sub = cfg.skip_boundary, cfg.subsample
     mask2 = np.zeros((ps, ps), dtype=bool)
     mask2[sb:-sb:1, sb:-sb:1] = True
     submask = np.zeros_like(mask2)
@@ -118,8 +125,8 @@ def discover_patch(
 
     def frame_data(i):
         u = seq[i]
-        ut = (seq[i + 1] - seq[i - 1]) / (2 * cfg.dt)
-        lib = _patch_library(u, cfg.dx, cfg.dy).reshape(-1, len(TERM_NAMES))[idx]
+        ut = (seq[i + 1] - seq[i - 1]) / (2 * dt)
+        lib = _patch_library(u, dx, dy).reshape(-1, len(TERM_NAMES))[idx]
         return lib, ut.reshape(-1)[idx]
 
     libs, uts = [], []
@@ -137,12 +144,22 @@ def discover_patch(
     # StandardScaler centers X columns; Ridge(int=False) then has no
     # intercept; X_scaled^T y uses the raw y — identical to our bs
     full = jnp.ones((X.shape[1],), dtype=X.dtype)
-    c_std = masked_ridge_solve(Gs, bs, full, cfg.alpha)
+    c_std = masked_ridge_solve(Gs, bs, full, alpha)
     coeffs = c_std / scale
     y_pred = X @ coeffs
     r2 = r2_score(y, y_pred)
     quality = jnp.maximum(0.0, r2) * reg_quality
     return coeffs, quality
+
+
+@partial(jax.jit, static_argnames=("dt", "dx", "dy", "alpha", "sb", "sub"))
+def _discover_all(seqs, quals, *, dt, dx, dy, alpha, sb, sub):
+    """Vmapped per-patch discovery as a MODULE-LEVEL jitted program: a
+    jit(...) object built inside run() retraces and recompiles on every
+    pipeline call (the full-scale program costs minutes of XLA compile)."""
+    return jax.vmap(
+        lambda s, q: _discover_patch_impl(s, q, dt=dt, dx=dx, dy=dy, alpha=alpha, sb=sb, sub=sub)
+    )(seqs, quals)
 
 
 @jax.jit
@@ -257,9 +274,6 @@ def run(cfg: PatchSindyConfig, U_raw: np.ndarray | None = None) -> dict[str, Any
     else:
         qualities = jnp.ones((P,), dtype=dtype)
 
-    def one(seq, q):
-        return discover_patch(seq, cfg, q)
-
     # patch axis sharded over the device mesh (results sliced back to the
     # true patch count, so sharded == single-device coefficients)
     from pdx.shard.mesh import maybe_shard_leading
@@ -267,7 +281,11 @@ def run(cfg: PatchSindyConfig, U_raw: np.ndarray | None = None) -> dict[str, Any
     (seqs_s, qual_s), P_orig = maybe_shard_leading(
         (seqs, qualities.astype(seqs.dtype)), cfg.mesh
     )
-    coeffs, qual = jax.jit(jax.vmap(lambda s, q: one(s, q)))(seqs_s, qual_s)
+    coeffs, qual = _discover_all(
+        seqs_s, qual_s,
+        dt=cfg.dt, dx=cfg.dx, dy=cfg.dy, alpha=cfg.alpha,
+        sb=cfg.skip_boundary, sub=cfg.subsample,
+    )
     C = np.asarray(coeffs)[:P_orig]
     Q = np.maximum(np.asarray(qual)[:P_orig], 0.0)
 

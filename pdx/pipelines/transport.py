@@ -57,14 +57,18 @@ class TransportConfig:
 
 
 def build_transport_library(
-    rho: jnp.ndarray, flow_u: jnp.ndarray, flow_v: jnp.ndarray, cfg: TransportConfig
+    rho: jnp.ndarray,
+    flow_u: jnp.ndarray,
+    flow_v: jnp.ndarray,
+    dt: float = 1.0,
+    dx: float = 1.0,
+    dy: float = 1.0,
 ) -> tuple[dict[str, jnp.ndarray], jnp.ndarray]:
     """13-term library + target (transport_pde_discovery.py:85-147).
 
     Convention (reference): x = cols (axis 2), y = rows (axis 1); flow_u is
     the col-displacement field, flow_v the row-displacement.
     """
-    dt, dx, dy = cfg.dt, cfg.dx, cfg.dy
     drho_dt = gradient_edge2(rho, dt, 0)
     drho_dx = gradient_edge2(rho, dx, 2)
     drho_dy = gradient_edge2(rho, dy, 1)
@@ -92,6 +96,43 @@ def build_transport_library(
         "v_drho_dy": flow_v * drho_dy[:-1],
     }
     return library, drho_dt[:-1]
+
+
+from functools import partial as _partial
+
+import jax as _jax
+
+
+@_partial(_jax.jit, static_argnames=("dt", "dx", "dy", "spatial_smooth"))
+def _discover(imgs_ds, flow_u, flow_v, alphas_arr, *, dt, dx, dy, spatial_smooth):
+    """The whole discovery — library build, finite-row masking, the full
+    Lasso alpha sweep, and fit metrics — as ONE module-level compiled
+    program; only the (n_alpha, p) coefficients and a handful of scalars
+    ever cross the device link (materializing X on the host for the finite
+    filter moved a ~200 MB design matrix through the tunnel twice, and a
+    jit built inside run() recompiled on every call)."""
+    library, target = build_transport_library(imgs_ds, flow_u, flow_v, dt, dx, dy)
+    if spatial_smooth > 0:
+        library = {k: gaussian_filter_reflect(v, spatial_smooth) for k, v in library.items()}
+        target = gaussian_filter_reflect(target, spatial_smooth)
+    X = jnp.stack([library[n].reshape(-1) for n in TERM_NAMES], axis=1)
+    y = target.reshape(-1)
+    finite = jnp.isfinite(X).all(axis=1) & jnp.isfinite(y)
+    mask = finite.astype(X.dtype)
+    X = jnp.where(finite[:, None], X, 0.0)
+    y = jnp.where(finite, y, 0.0)
+    n_eff = jnp.sum(mask)
+    y_mean = jnp.sum(y * mask) / n_eff
+    ss_tot = jnp.sum(((y - y_mean) * mask) ** 2)
+
+    def one(alpha):
+        coef, intercept = lasso_ista(X, y, alpha, max_iter=5000, row_mask=mask)
+        resid = (y - (X @ coef + intercept)) * mask
+        ss_res = jnp.sum(resid**2)
+        return coef, intercept, ss_res, jnp.sum(jnp.abs(resid)) / n_eff
+
+    coefs, intercepts, ss_res_v, mae_v = _jax.vmap(one)(alphas_arr)
+    return coefs, intercepts, ss_res_v, mae_v, ss_tot, n_eff
 
 
 def run(cfg: TransportConfig, U_raw: np.ndarray | None = None) -> dict[str, Any]:
@@ -125,41 +166,10 @@ def run(cfg: TransportConfig, U_raw: np.ndarray | None = None) -> dict[str, Any]
     # reference convention: flow_u = col component, flow_v = row component
     flow_u, flow_v = flow_c, flow_r
 
-    import jax
-
-    # the whole discovery — library build, finite-row masking, the full
-    # Lasso alpha sweep, and fit metrics — is ONE jitted dispatch; only the
-    # (n_alpha, p) coefficients and a handful of scalars ever cross the
-    # tunnel (materializing X on the host for the finite filter moved a
-    # ~200 MB design matrix through the device link twice)
-    @jax.jit
-    def discover(imgs_ds, flow_u, flow_v, alphas_arr):
-        library, target = build_transport_library(imgs_ds, flow_u, flow_v, cfg)
-        if cfg.spatial_smooth > 0:
-            library = {k: gaussian_filter_reflect(v, cfg.spatial_smooth) for k, v in library.items()}
-            target = gaussian_filter_reflect(target, cfg.spatial_smooth)
-        X = jnp.stack([library[n].reshape(-1) for n in TERM_NAMES], axis=1)
-        y = target.reshape(-1)
-        finite = jnp.isfinite(X).all(axis=1) & jnp.isfinite(y)
-        mask = finite.astype(X.dtype)
-        X = jnp.where(finite[:, None], X, 0.0)
-        y = jnp.where(finite, y, 0.0)
-        n_eff = jnp.sum(mask)
-        y_mean = jnp.sum(y * mask) / n_eff
-        ss_tot = jnp.sum(((y - y_mean) * mask) ** 2)
-
-        def one(alpha):
-            coef, intercept = lasso_ista(X, y, alpha, max_iter=5000, row_mask=mask)
-            resid = (y - (X @ coef + intercept)) * mask
-            ss_res = jnp.sum(resid**2)
-            return coef, intercept, ss_res, jnp.sum(jnp.abs(resid)) / n_eff
-
-        coefs, intercepts, ss_res_v, mae_v = jax.vmap(one)(alphas_arr)
-        return coefs, intercepts, ss_res_v, mae_v, ss_tot, n_eff
-
     alphas_arr = jnp.asarray(cfg.alphas, dtype=imgs_ds.dtype)
-    coefs, intercepts, ss_res_v, mae_v, ss_tot, n_eff = discover(
-        imgs_ds, flow_u, flow_v, alphas_arr
+    coefs, intercepts, ss_res_v, mae_v, ss_tot, n_eff = _discover(
+        imgs_ds, flow_u, flow_v, alphas_arr,
+        dt=cfg.dt, dx=cfg.dx, dy=cfg.dy, spatial_smooth=cfg.spatial_smooth,
     )
     coefs = np.asarray(coefs)
     intercepts = np.asarray(intercepts)
@@ -231,7 +241,7 @@ def quick_run(cfg: TransportConfig, U_raw: np.ndarray | None = None) -> dict[str
         iterations=cfg.flow_iterations, poly_n=cfg.flow_poly_n,
         poly_sigma=cfg.flow_poly_sigma, gaussian_win=False,
     )
-    library, target = build_transport_library(imgs_ds, flow_c, flow_r, cfg)
+    library, target = build_transport_library(imgs_ds, flow_c, flow_r, cfg.dt, cfg.dx, cfg.dy)
     X = jnp.stack([library[n].reshape(-1) for n in TERM_NAMES], axis=1)
     y = target.reshape(-1)
     coef = lstsq_solve(X, y)
