@@ -244,7 +244,7 @@ def run(cfg: PatchSindyConfig, U_raw: np.ndarray | None = None) -> dict[str, Any
         # seqs[i] per patch is a separate device dispatch)
         from pdx.register.farneback import stack_frames
 
-        pairs = [_ecc_one(seqs, jnp.asarray(i, jnp.int32)) for i in range(P)]
+        pairs = [_ecc_one(seqs, i) for i in range(P)]
         seqs = stack_frames(*[p[0] for p in pairs])
         qualities = stack_frames(*[p[1] for p in pairs])
     elif cfg.registration_method == "optical_flow":
@@ -258,13 +258,11 @@ def run(cfg: PatchSindyConfig, U_raw: np.ndarray | None = None) -> dict[str, Any
         new_seqs, qualities = [], []
         T_seq = int(seqs.shape[1])
         for pi in range(P):
-            prev = _patch_frame(seqs, jnp.asarray(pi, jnp.int32), jnp.asarray(0, jnp.int32))
+            prev = _patch_frame(seqs, pi, 0)
             frames = [prev]
             qs = []
             for t in range(1, T_seq):
-                prev, q = _flow_warp_step(
-                    seqs, prev, jnp.asarray(pi, jnp.int32), jnp.asarray(t, jnp.int32)
-                )
+                prev, q = _flow_warp_step(seqs, prev, pi, t)
                 frames.append(prev)
                 qs.append(q)
             new_seqs.append(stack_frames(*frames))

@@ -325,7 +325,7 @@ def farneback_register_sequence(
         # on the TPU tunnel, and ~80 ms each through this host's eager CPU
         # path (measured 16 s of a 21 s patch-discovery run)
         ref = _register_step(
-            U, ref, jnp.asarray(i, jnp.int32), sign,
+            U, ref, i, sign,
             ksize=flow_smooth_ksize, sigma=flow_smooth_sigma, flow_static=flow_static,
         )
         out.append(ref)
@@ -374,8 +374,7 @@ def farneback_flow_pairs(U: Array, **flow_kwargs) -> tuple[Array, Array]:
     ~100 extra dispatches on the tunnel)."""
     flow_static = tuple(sorted(flow_kwargs.items()))
     outs = [
-        _pair_flow(U, jnp.asarray(i, jnp.int32), flow_static=flow_static)
-        for i in range(U.shape[0] - 1)
+        _pair_flow(U, i, flow_static=flow_static) for i in range(U.shape[0] - 1)
     ]
     fx = stack_frames(*[o[0] for o in outs])
     fy = stack_frames(*[o[1] for o in outs])
