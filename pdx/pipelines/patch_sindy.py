@@ -53,6 +53,11 @@ class PatchSindyConfig:
     alpha: float = 0.01
     min_patches: int = 5
     registration_method: str = "none"  # none | ecc | optical_flow
+    # optical_flow scope: 'patch' = per-patch flows (reference parity,
+    # patch_based_sindy.py:198-221 — P*(T-1) small flows); 'frame' =
+    # register the full frame sequence once before patch extraction
+    # (T-1 large flows, ~4x less flow work and no patch-edge artifacts)
+    flow_scope: str = "patch"  # patch | frame
     max_patches: int | None = None
     var_suppress_factor: float = 2.0
     dtype: str = "float64"
@@ -223,6 +228,19 @@ def run(cfg: PatchSindyConfig, U_raw: np.ndarray | None = None) -> dict[str, Any
             f"patch_size {cfg.patch_size} exceeds frame size {H_}x{W_}; clamped to {patch_size}"
         )
     stride = patch_size - overlap
+    frame_registered = (
+        cfg.registration_method == "optical_flow" and cfg.flow_scope == "frame"
+    )
+    if frame_registered:
+        # frame-scope fast path: one warp-to-previous registration of the
+        # whole sequence (T-1 large flows) instead of P*(T-1) per-patch
+        # flows; quality reverts to fit-R2-only (flow magnitude is global)
+        from pdx.register.farneback import farneback_register_sequence
+
+        U = farneback_register_sequence(
+            U, levels=3, winsize=15, iterations=5,
+            poly_n=7, poly_sigma=1.5, gaussian_win=False,
+        )
     seqs, coords = extract_patch_sequences(U, patch_size, stride)
     if seqs.shape[0] == 0:
         raise RuntimeError(
@@ -237,7 +255,9 @@ def run(cfg: PatchSindyConfig, U_raw: np.ndarray | None = None) -> dict[str, Any
         coords = [coords[i] for i in keep]
 
     P = seqs.shape[0]
-    if cfg.registration_method == "ecc":
+    if frame_registered:
+        qualities = jnp.ones((P,), dtype=dtype)
+    elif cfg.registration_method == "ecc":
         # host loop over patches: the ECC warp gathers + while_loops degrade
         # badly under vmap on TPU (see farneback_register_sequence); patch
         # selection is a dynamic index inside the jitted step (an eager
@@ -327,6 +347,8 @@ def cmd_patch_sindy(argv: list[str]) -> int:
     parser.add_argument("--patch-size", type=int, default=256)
     parser.add_argument("--overlap", type=int, default=64)
     parser.add_argument("--registration", choices=["none", "ecc", "optical_flow"], default="none")
+    parser.add_argument("--flow-scope", choices=["patch", "frame"], default="patch",
+                        help="optical_flow granularity: per-patch (reference parity) or whole-frame")
     parser.add_argument("--max-patches", type=int, default=None)
     args = parser.parse_args(argv)
     out = run(
@@ -334,6 +356,7 @@ def cmd_patch_sindy(argv: list[str]) -> int:
             data_dir=args.data_dir, output_dir=args.output_dir, max_images=args.max_images,
             patch_size=args.patch_size, overlap=args.overlap,
             registration_method=args.registration, max_patches=args.max_patches,
+            flow_scope=args.flow_scope,
         )
     )
     print(f"Valid patches: {out['n_patches']}  avg quality: {out['avg_quality']:.4f}")

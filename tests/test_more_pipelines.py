@@ -174,6 +174,21 @@ class TestPatchSindy:
         out = run(cfg)
         assert out["n_patches"] >= 2
 
+    def test_frame_scope_optical_flow(self, tiff_dir, tmp_path):
+        """flow_scope='frame': one whole-frame registration instead of
+        P*(T-1) per-patch flows; coefficients stay finite and the quality
+        weights revert to fit-R2-only."""
+        from pdx.pipelines.patch_sindy import PatchSindyConfig, run
+
+        cfg = PatchSindyConfig(
+            data_dir=str(tiff_dir), output_dir=str(tmp_path), max_images=6,
+            patch_size=64, overlap=0, skip_boundary=3, subsample=2, min_patches=2,
+            registration_method="optical_flow", flow_scope="frame",
+        )
+        out = run(cfg)
+        assert out["n_patches"] >= 2
+        assert np.all(np.isfinite(out["coeffs"]))
+
 
 class TestRunAllAndFigures:
     def test_run_all_fast_steps(self, tiff_dir, tmp_path):
