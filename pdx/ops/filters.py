@@ -17,7 +17,10 @@ for temporal filters) and batch freely.
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 from jax import Array
 
@@ -63,8 +66,13 @@ def _gaussian_kernel1d(sigma: float, radius: int) -> np.ndarray:
     return phi / phi.sum()
 
 
+@partial(jax.jit, static_argnames=("sigma", "truncate"))
 def gaussian_filter_reflect(f: Array, sigma: float, truncate: float = 4.0) -> Array:
     """Separable Gaussian filter matching scipy.ndimage.gaussian_filter defaults.
+
+    Jitted with static sigma: the eager per-tap loop dispatched ~2*radius
+    primitives per axis (55 s of a 115 s analyze preprocess on the slow
+    host; dozens of extra dispatches on the TPU tunnel).
 
     scipy's default mode is "reflect" = symmetric padding (edge sample
     repeated), radius = int(truncate * sigma + 0.5). Acts on the trailing two
@@ -93,8 +101,9 @@ def gaussian_filter_reflect(f: Array, sigma: float, truncate: float = 4.0) -> Ar
     return out
 
 
+@partial(jax.jit, static_argnames=("sigma", "axis", "truncate"))
 def gaussian_filter1d_reflect(x: Array, sigma: float, axis: int = -1, truncate: float = 4.0) -> Array:
-    """1-D scipy-compatible Gaussian filter along ``axis``."""
+    """1-D scipy-compatible Gaussian filter along ``axis`` (jitted, static sigma)."""
     sigma = float(sigma)
     if sigma <= 0:
         return x
@@ -198,6 +207,7 @@ def _savgol_coeffs(window: int, polyorder: int) -> np.ndarray:
     return A @ sol  # (window,)
 
 
+@partial(jax.jit, static_argnames=("window", "polyorder"))
 def savgol_time(U: Array, window: int, polyorder: int) -> Array:
     """Savitzky-Golay filter along axis 0 with scipy's mode="interp" edges.
 

@@ -162,7 +162,17 @@ def sliced_fields(cfg: AnalyzeConfig, U: jnp.ndarray) -> tuple[dict[str, jnp.nda
     Reference convention: u_x differentiates along the LAST axis (cols),
     u_y along rows.
     """
-    dx, dy, dt = cfg.dx, cfg.dy, cfg.dt
+    fields, u_t = _sliced_fields_impl(U, dx=cfg.dx, dy=cfg.dy, dt=cfg.dt)
+    return fields, u_t, tuple(int(s) for s in u_t.shape)
+
+
+from functools import partial as __partial
+
+import jax as __jax
+
+
+@__partial(__jax.jit, static_argnames=("dx", "dy", "dt"))
+def _sliced_fields_impl(U, *, dx, dy, dt):
     u_x = (U[:, :, 2:] - U[:, :, :-2]) / (2 * dx)
     u_y = (U[:, 2:, :] - U[:, :-2, :]) / (2 * dy)
     u_xx = (U[:, :, 2:] - 2 * U[:, :, 1:-1] + U[:, :, :-2]) / (dx**2)
@@ -196,7 +206,7 @@ def sliced_fields(cfg: AnalyzeConfig, U: jnp.ndarray) -> tuple[dict[str, jnp.nda
         "ux2": u_x**2,
         "uy2": u_y**2,
     }
-    return fields, u_t, (mt, mh, mw)
+    return fields, u_t
 
 
 def _fit(cfg: AnalyzeConfig, X: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
