@@ -66,19 +66,28 @@ def dis_register_sequence(U: jnp.ndarray, *, warp_sign: float = 1.0) -> jnp.ndar
 
     Host-chained jitted per-frame programs (not lax.scan) — TPU lowers the
     patch-gather-heavy DIS program far slower inside scan (see
-    farneback_register_sequence)."""
+    farneback_register_sequence). Frame selection is a dynamic index inside
+    the module-level jitted step; warp_sign enters as a runtime scalar (a
+    per-call jit closure retraced on every pipeline run)."""
+    from pdx.register.farneback import stack_frames, _first_frame
+
+    sign = jnp.asarray(warp_sign, U.dtype)
+    ref = _first_frame(U)
+    out = [ref]
+    for i in range(1, U.shape[0]):
+        ref = _dis_step(U, ref, i, sign)
+        out.append(ref)
+    return stack_frames(*out)
+
+
+@jax.jit
+def _dis_step(U, ref, i, sign):
     from pdx.register.farneback import _blur
 
-    @jax.jit
-    def step(ref, mov):
-        fx, fy = dis_flow(ref, mov)
-        fs = _blur(jnp.stack([fx, fy]), 11, 2.0, True)
-        return warp_flow(mov, warp_sign * fs[0], warp_sign * fs[1], border="reflect")
-
-    out = [U[0]]
-    for i in range(1, U.shape[0]):
-        out.append(step(out[-1], U[i]))
-    return jnp.stack(out, axis=0)
+    mov = jax.lax.dynamic_index_in_dim(U, i, 0, keepdims=False)
+    fx, fy = dis_flow(ref, mov)
+    fs = _blur(jnp.stack([fx, fy]), 11, 2.0, True)
+    return warp_flow(mov, sign * fs[0], sign * fs[1], border="reflect")
 
 
 def run(cfg: ImprovedRegistrationConfig, U_raw: np.ndarray | None = None) -> dict[str, Any]:
