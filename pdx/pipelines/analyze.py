@@ -236,7 +236,7 @@ from functools import partial as _partial
 
 import jax as _jax
 
-from pdx.validate.rollout import ANALYZE13, rollout_curve_bundle
+from pdx.validate.rollout import ANALYZE13, dense_coeffs, rollout_curve_bundle
 
 
 def _batched_metrics(y, P):
@@ -435,13 +435,34 @@ def run(cfg: AnalyzeConfig, U_raw: np.ndarray | None = None) -> dict[str, Any]:
         one_step_train = float(one_step_prediction_rmse(u[train_sl], ut_pred_full[train_sl], dt))
         one_step_test = float(one_step_prediction_rmse(u[test_sl], ut_pred_full[test_sl], dt))
 
+        # both split curves from one compiled bundle per (term_set, split)
+        # shape — the per-(k, tag) loop compiled ~20 programs per model
+        from pdx.library.dictionaries import FOURTH_ORDER_TERMS
+
+        if set(names) <= set(ANALYZE13):
+            term_set, superset = "real13", ANALYZE13
+        else:
+            term_set, superset = "fourth25", FOURTH_ORDER_TERMS
+        dense_m = jnp.asarray(dense_coeffs(names, coeffs, superset)[None], u.dtype)
+        empty_m = jnp.zeros((0,) + u.shape[-2:], u.dtype)
+        k_max_m = max(k_list) if k_list else 0
         rollout = {}
-        for k in k_list:
-            for tag, sl in (("train", train_sl), ("test", test_sl)):
-                m = rollout_k_rmse_dense(
-                    u, names, coeffs, k, sl.start or 0, sl.stop, dt, cfg.dx, cfg.dy
+        for tag, sl in (("train", train_sl), ("test", test_sl)):
+            t0m, t1m = sl.start or 0, sl.stop
+            if k_max_m > 0 and (t1m - t0m) > 1:
+                rm_m, nrm_m = rollout_curve_bundle(
+                    u, dense_m,
+                    jnp.asarray(dt, u.dtype), jnp.asarray(cfg.dx, u.dtype), jnp.asarray(cfg.dy, u.dtype),
+                    empty_m, k_max=k_max_m, t0=t0m, t1=t1m, term_set=term_set,
                 )
-                rollout[f"k{k}_{tag}"] = {kk: float(vv) for kk, vv in m.items()}
+                rm_m, nrm_m = np.asarray(rm_m), np.asarray(nrm_m)
+                for k in k_list:
+                    rollout[f"k{k}_{tag}"] = {
+                        "rmse": float(rm_m[0, k - 1, 0]), "nrmse": float(nrm_m[0, k - 1, 0])
+                    }
+            else:
+                for k in k_list:
+                    rollout[f"k{k}_{tag}"] = {"rmse": float("nan"), "nrmse": float("nan")}
 
         n_active = int(jnp.sum(jnp.abs(coeffs) > 1e-5))
         results.append(
@@ -483,7 +504,6 @@ def run(cfg: AnalyzeConfig, U_raw: np.ndarray | None = None) -> dict[str, Any]:
     tb_test_mask = _space_mask(mh, mw, cfg.space_train_frac, "tb")[1]
     if k_list and mt > 1:
         from pdx.library.dictionaries import FOURTH_ORDER_TERMS
-        from pdx.validate.rollout import dense_coeffs, rollout_curve_bundle
 
         if set(b_names) <= set(ANALYZE13):
             term_set, superset = "real13", ANALYZE13

@@ -293,3 +293,20 @@ class TestEnvConfig:
         monkeypatch.setenv("PDE_ROLLOUT_STEPS", "1,5,3")
         cfg = config_from_env(AnalyzeConfig())
         assert cfg.rollout_steps == (1, 3, 5)
+
+    def test_robust_regression_path(self, tiff_dir, tmp_path):
+        """PDE_ROBUST_REGRESSION path: per-model robust STRidge with the
+        bundled rollout curves (analyze_results.py:543-587)."""
+        from pdx.pipelines.analyze import AnalyzeConfig, run
+
+        cfg = AnalyzeConfig(
+            data_dir=str(tiff_dir), output_dir=str(tmp_path), max_images=10,
+            registration=False, skip=10, subsample=6, rollout_steps=(1, 2),
+            robust_regression=True, write_artifacts=False,
+        )
+        out = run(cfg)
+        assert len(out["results"]) == 6
+        for r in out["results"]:
+            assert np.isfinite(r["r2"])
+            assert np.isfinite(r["rollout"]["k1_test"]["rmse"])
+            assert np.isfinite(r["rollout"]["k2_train"]["nrmse"])
