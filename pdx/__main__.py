@@ -115,6 +115,13 @@ def cmd_doctor(argv: list[str]) -> int:
     t0 = time.perf_counter()
     (x @ x).block_until_ready()
     print(f"dispatch+sync latency: {(time.perf_counter() - t0) * 1000:.1f} ms")
+    # block_until_ready can return at ENQUEUE on the tunneled axon backend;
+    # a device->host read is the truthful round-trip (healthy ≈ 10-30 ms on
+    # the tunnel; 100+ ms or a hang means the tunnel is degraded — wait
+    # before trusting any measurement)
+    t0 = time.perf_counter()
+    float((x @ x)[0, 0])
+    print(f"device->host read round-trip: {(time.perf_counter() - t0) * 1000:.1f} ms")
     from pdx import native
 
     print(f"native C++ hostops: {'available' if native.available() else 'UNAVAILABLE (g++ build failed)'}")
