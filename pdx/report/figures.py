@@ -57,7 +57,7 @@ def model_comparison_figure(slides_dir: str | Path, out_name: str = "MODEL_COMPA
         ax.axhline(0, color="black", linewidth=1)
     plt.tight_layout()
     out = slides_dir / out_name
-    plt.savefig(out, dpi=200, bbox_inches="tight")
+    plt.savefig(out, dpi=150, bbox_inches="tight")
     plt.close(fig)
     return out
 
@@ -90,7 +90,7 @@ def generate_presentation_figures_minimal(slides_dir: str | Path) -> list[Path]:
     ax2.tick_params(axis="x", rotation=30)
     plt.tight_layout()
     p = slides_dir / "FIG1_MODEL_COMPARISON.png"
-    plt.savefig(p, dpi=200, bbox_inches="tight")
+    plt.savefig(p, dpi=150, bbox_inches="tight")
     plt.close(fig)
     outs.append(p)
 
@@ -111,7 +111,7 @@ def generate_presentation_figures_minimal(slides_dir: str | Path) -> list[Path]:
     ax.legend(frameon=False, fontsize=8)
     plt.tight_layout()
     p = slides_dir / "FIG2_ROLLOUT_CURVES.png"
-    plt.savefig(p, dpi=200, bbox_inches="tight")
+    plt.savefig(p, dpi=150, bbox_inches="tight")
     plt.close(fig)
     outs.append(p)
 
@@ -124,7 +124,7 @@ def generate_presentation_figures_minimal(slides_dir: str | Path) -> list[Path]:
     ax.tick_params(axis="x", rotation=30)
     plt.tight_layout()
     p = slides_dir / "FIG3_BEST_MODEL.png"
-    plt.savefig(p, dpi=200, bbox_inches="tight")
+    plt.savefig(p, dpi=150, bbox_inches="tight")
     plt.close(fig)
     outs.append(p)
 
@@ -154,7 +154,7 @@ def create_simple_slide3(slides_dir: str | Path) -> Path:
         ax.text(0.3, 0.52 - 0.06 * i, k, ha="right", fontsize=12, fontweight="bold")
         ax.text(0.33, 0.52 - 0.06 * i, str(v), ha="left", fontsize=12)
     out = slides_dir / "SLIDE3_RESULTS.png"
-    plt.savefig(out, dpi=200, bbox_inches="tight")
+    plt.savefig(out, dpi=150, bbox_inches="tight")
     plt.close(fig)
     return out
 
@@ -185,7 +185,7 @@ def create_method_slide(slides_dir: str | Path) -> Path:
             fontsize=11, family="monospace")
     ax.set_title("PDE discovery methodology", fontsize=16, fontweight="bold")
     out = slides_dir / "SLIDE_METHOD.png"
-    plt.savefig(out, dpi=200, bbox_inches="tight")
+    plt.savefig(out, dpi=150, bbox_inches="tight")
     plt.close(fig)
     return out
 
@@ -334,7 +334,7 @@ def create_final_figures(slides_dir: str | Path) -> list[Path]:
     ax.set_title("Coefficients across model families")
     plt.tight_layout()
     p = slides_dir / "FINAL_COEFF_MATRIX.png"
-    plt.savefig(p, dpi=200, bbox_inches="tight")
+    plt.savefig(p, dpi=150, bbox_inches="tight")
     plt.close(fig)
     outs.append(p)
 
@@ -360,7 +360,7 @@ def create_final_figures(slides_dir: str | Path) -> list[Path]:
     table.scale(1.0, 1.4)
     ax.set_title("Model comparison (test)", fontweight="bold")
     p = slides_dir / "FINAL_METRICS_TABLE.png"
-    plt.savefig(p, dpi=200, bbox_inches="tight")
+    plt.savefig(p, dpi=150, bbox_inches="tight")
     plt.close(fig)
     outs.append(p)
     return outs
