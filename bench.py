@@ -20,8 +20,53 @@ import time
 BASELINE_SECONDS = 14.97  # reference CPU wall-clock on this host (see docstring)
 
 
+def _tpu_tunnel_healthy(timeout_s: float = 90.0) -> bool:
+    """Probe the accelerator with a tiny compute+read in a SUBPROCESS.
+
+    The tunneled axon backend can wedge for hours (device->host reads hang
+    indefinitely); a hung bench records nothing for the round. The probe
+    must run in a child because a wedged read cannot be interrupted
+    in-process.
+    """
+    import subprocess
+    import sys
+
+    code = (
+        "import jax, jax.numpy as jnp\n"
+        "x = jnp.ones((128, 128))\n"
+        "print(float((x @ x)[0, 0]))\n"
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s, capture_output=True
+        )
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
+    import os
+
     import jax
+
+    if (
+        jax.default_backend() not in ("cpu",)
+        and os.environ.get("PDX_BENCH_CPU_FALLBACK") != "1"
+        and not _tpu_tunnel_healthy()
+    ):
+        # accelerator unreachable: re-exec on CPU so the round still gets an
+        # honest number (the CPU path also beats the reference baseline)
+        import subprocess
+        import sys
+
+        env = dict(os.environ)
+        env["JAX_PLATFORM_NAME"] = "cpu"
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PDX_BENCH_CPU_FALLBACK"] = "1"
+        sys.stderr.write("bench: TPU tunnel unresponsive, falling back to CPU\n")
+        raise SystemExit(subprocess.run([sys.executable, __file__], env=env).returncode)
+
     import pdx
 
     from pdx.pipelines.ks2d_bench import Ks2dBenchConfig, run
