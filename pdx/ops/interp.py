@@ -14,6 +14,9 @@ translating OpenCV's (col, row) arguments.
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 from jax import Array
 
@@ -146,6 +149,7 @@ def warp_flow(f: Array, flow_x: Array, flow_y: Array, *, border: str = "reflect"
     return remap_bilinear(f, r + flow_x, c + flow_y, border=border)
 
 
+@partial(jax.jit, static_argnames=("out_h", "out_w"))
 def resize_area(f: Array, out_h: int, out_w: int) -> Array:
     """cv2.INTER_AREA-style resize for shrinking (exact for integer factors:
     plain block mean; fractional factors use exact pixel-coverage weights).
@@ -180,8 +184,9 @@ def resize_area(f: Array, out_h: int, out_w: int) -> Array:
     return jnp.einsum("pw,...ow->...op", Ww, out)
 
 
+@partial(jax.jit, static_argnames=("out_h", "out_w"))
 def resize_bilinear(f: Array, out_h: int, out_w: int) -> Array:
-    """cv2.INTER_LINEAR resize semantics (half-pixel centers, edge clamp)."""
+    """cv2.INTER_LINEAR resize semantics (half-pixel centers, edge clamp; jitted)."""
     H, W = f.shape[-2], f.shape[-1]
     dtype = jnp.result_type(f.dtype, jnp.float32)
     sx = H / out_h
