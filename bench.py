@@ -92,7 +92,10 @@ def main() -> None:
     worst_err = max(v["rel_err_pct"] for v in res["gt_errors"].values())
     assert worst_err < 1.0, f"recovery degraded: {res['gt_errors']}"
 
+    backend = "tpu" if on_tpu else "cpu"
     details = {
+        "backend": backend,
+        "date_utc": _utc_stamp(human=True),
         "ks2d_full_benchmark_seconds": elapsed,
         "worst_gt_rel_err_pct": worst_err,
         "stridge_fits_per_sec": _stridge_fits_per_sec(),
@@ -104,25 +107,80 @@ def main() -> None:
         )
     except Exception as e:  # keep the headline metric robust
         details["patch_ensemble_error"] = str(e)
-    try:
-        import pathlib
+    _persist_details(details, backend)
 
-        out = pathlib.Path("outputs/bench_details.json")
-        out.parent.mkdir(parents=True, exist_ok=True)
-        out.write_text(json.dumps(details, indent=2))
+    line = {
+        "metric": "ks2d_full_benchmark_gridsearch_wallclock",
+        "value": round(elapsed, 4),
+        "unit": "seconds",
+        "vs_baseline": round(BASELINE_SECONDS / elapsed, 3),
+    }
+    if not on_tpu:
+        # resilience telemetry: surface the most recent healthy-chip record
+        # alongside the fallback number so a wedged-tunnel round still shows
+        # the TPU evidence to the driver
+        last = _latest_tpu_record()
+        if last is not None:
+            line["last_tpu"] = last
+    print(json.dumps(line))
+
+
+def _utc_stamp(human: bool = False) -> str:
+    import datetime
+
+    now = datetime.datetime.now(datetime.timezone.utc)
+    return now.isoformat(timespec="seconds") if human else now.strftime("%Y%m%dT%H%M%SZ")
+
+
+def _persist_details(details: dict, backend: str) -> None:
+    """Backend- and date-stamped measurement artifacts, never clobbered:
+
+    * ``docs/measurements/bench_{backend}_{stamp}.json`` — durable
+      git-tracked history, one file per run.
+    * ``outputs/bench_details_{backend}.json`` — latest-per-backend scratch.
+    * ``outputs/bench_details.json`` — the canonical CHIP record; written
+      only by TPU runs so a CPU fallback can never overwrite TPU evidence.
+    """
+    import pathlib
+
+    blob = json.dumps(details, indent=2)
+    try:
+        hist = pathlib.Path(__file__).parent / "docs" / "measurements"
+        hist.mkdir(parents=True, exist_ok=True)
+        (hist / f"bench_{backend}_{_utc_stamp()}.json").write_text(blob)
+    except OSError:
+        pass
+    try:
+        out = pathlib.Path("outputs")
+        out.mkdir(parents=True, exist_ok=True)
+        (out / f"bench_details_{backend}.json").write_text(blob)
+        if backend == "tpu":
+            (out / "bench_details.json").write_text(blob)
     except OSError:
         pass
 
-    print(
-        json.dumps(
-            {
-                "metric": "ks2d_full_benchmark_gridsearch_wallclock",
-                "value": round(elapsed, 4),
-                "unit": "seconds",
-                "vs_baseline": round(BASELINE_SECONDS / elapsed, 3),
-            }
-        )
-    )
+
+def _latest_tpu_record() -> dict | None:
+    import pathlib
+
+    hist = pathlib.Path(__file__).parent / "docs" / "measurements"
+    cands = sorted(hist.glob("bench_tpu_*.json"))
+    if not cands:
+        return None
+    try:
+        d = json.loads(cands[-1].read_text())
+    except (OSError, ValueError):
+        return None
+    det = d.get("details", d)  # recovered round-2 file nests under "details"
+    secs = det.get("ks2d_full_benchmark_seconds")
+    if secs is None:
+        return None
+    return {
+        "path": str(cands[-1].relative_to(pathlib.Path(__file__).parent)),
+        "date_utc": d.get("date_utc"),
+        "value": round(float(secs), 4),
+        "vs_baseline": round(BASELINE_SECONDS / float(secs), 3),
+    }
 
 
 def _patch_ensemble_seconds() -> float:

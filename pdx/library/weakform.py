@@ -118,7 +118,9 @@ def build_weakform_dataset(
     so only the |grad u|^2 feature ever differentiates the (noisy) data.
 
     operator='spectral' (default) reproduces the reference's quadrature
-    (FFT derivatives, k-space low-pass on the gradient). operator='fd'
+    (FFT derivatives, k-space low-pass on the gradient); grad_cutoff sets
+    that low-pass and applies to spectral mode ONLY — combining a
+    non-default grad_cutoff with operator='fd' raises. operator='fd'
     builds DISCRETE-ADJOINT columns instead: the same periodic 5-point/
     central stencils the FD simulators integrate with, applied to the test
     functions (the stencils are self-adjoint, gradients anti-self-adjoint
@@ -147,6 +149,16 @@ def build_weakform_dataset(
 
     if operator == "fd":
         from pdx.ops.fd import gradients_periodic, laplacian_periodic
+
+        # FD stencils have no spectral-cutoff concept: grad_cutoff cannot
+        # apply in fd mode. Reject a non-default setting loudly instead of
+        # silently ignoring it.
+        if float(grad_cutoff) != 0.65:
+            raise ValueError(
+                "grad_cutoff only applies to operator='spectral'; "
+                "fd-mode gradients are plain central stencils (leave "
+                "grad_cutoff at its default with operator='fd')"
+            )
 
         def d_grad(f, cutoff=1.0):
             return gradients_periodic(f, dx, dy)

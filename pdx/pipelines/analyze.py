@@ -124,35 +124,44 @@ class AnalyzeConfig:
     write_artifacts: bool = True
 
 
-def preprocess(cfg: AnalyzeConfig, U_raw: np.ndarray) -> jnp.ndarray:
+def preprocess(cfg: AnalyzeConfig, U_raw: np.ndarray, timer=None) -> jnp.ndarray:
     """Downsample -> denoise -> normalize -> [stabilize] -> register -> smooth
     -> crop/subsample (analyze_results.py:213-251)."""
     from pdx.utils.precision import resolve_dtype
+    from pdx.utils.profiling import null_stage, sync_point
+
+    st = timer.stage if timer is not None else null_stage
+    sync = (lambda x: sync_point(x) if timer is not None else x)
 
     dtype = resolve_dtype(cfg.dtype)
-    U = jnp.asarray(U_raw, dtype=dtype)
-    T, H, W = U.shape
-    U = resize_area(U, H // cfg.downsample, W // cfg.downsample)
-    U = gaussian_filter_reflect(U, cfg.denoise_sigma1)
-    U = (U - U.min()) / (U.max() - U.min())
+    with st("denoise_normalize"):
+        U = jnp.asarray(U_raw, dtype=dtype)
+        T, H, W = U.shape
+        U = resize_area(U, H // cfg.downsample, W // cfg.downsample)
+        U = gaussian_filter_reflect(U, cfg.denoise_sigma1)
+        U = sync((U - U.min()) / (U.max() - U.min()))
 
     if cfg.stabilize_translation:
-        U = stabilize_translation_sequence(
-            U,
-            mode=cfg.stabilize_mode,
-            estimate_sigma_px=cfg.stabilize_est_sigma,
-            border="reflect",
-            smooth="reflect",
-        )
+        with st("stabilize"):
+            U = sync(stabilize_translation_sequence(
+                U,
+                mode=cfg.stabilize_mode,
+                estimate_sigma_px=cfg.stabilize_est_sigma,
+                border="reflect",
+                smooth="reflect",
+            ))
 
     if cfg.registration:
-        U = farneback_register_sequence(
-            U, warp_sign=-1.0 if cfg.reference_compat_warp else 1.0
-        )
+        with st("registration"):
+            U = sync(farneback_register_sequence(
+                U, warp_sign=-1.0 if cfg.reference_compat_warp else 1.0
+            ))
 
-    U = gaussian_filter_reflect(U, cfg.denoise_sigma2)
-    s, sub = cfg.skip, cfg.subsample
-    return U[:, s:-s:sub, s:-s:sub]
+    with st("smooth_crop"):
+        U = gaussian_filter_reflect(U, cfg.denoise_sigma2)
+        s, sub = cfg.skip, cfg.subsample
+        U = sync(U[:, s:-s:sub, s:-s:sub])
+    return U
 
 
 def sliced_fields(cfg: AnalyzeConfig, U: jnp.ndarray) -> tuple[dict[str, jnp.ndarray], jnp.ndarray, tuple[int, int, int]]:
@@ -375,13 +384,19 @@ def _run_models_batched(cfg, fields, u_t, u, train_sl, test_sl, k_list) -> list[
     return results
 
 
-def run(cfg: AnalyzeConfig, U_raw: np.ndarray | None = None) -> dict[str, Any]:
-    if U_raw is None:
-        U_raw = load_images(cfg.data_dir, max_images=cfg.max_images, mode="grayscale_u8")
+def run(cfg: AnalyzeConfig, U_raw: np.ndarray | None = None, timer=None) -> dict[str, Any]:
+    from pdx.utils.profiling import null_stage
 
-    U_crop = preprocess(cfg, U_raw)
-    fields, u_t, (mt, mh, mw) = sliced_fields(cfg, U_crop)
-    u = fields["u"]
+    st = timer.stage if timer is not None else null_stage
+
+    if U_raw is None:
+        with st("load_images"):
+            U_raw = load_images(cfg.data_dir, max_images=cfg.max_images, mode="grayscale_u8")
+
+    U_crop = preprocess(cfg, U_raw, timer=timer)
+    with st("sliced_fields"):
+        fields, u_t, (mt, mh, mw) = sliced_fields(cfg, U_crop)
+        u = fields["u"]
     dt = cfg.dt
 
     train_sl, test_sl = _split_slices(mt, cfg.train_frac)
@@ -398,7 +413,8 @@ def run(cfg: AnalyzeConfig, U_raw: np.ndarray | None = None) -> dict[str, Any]:
         # batched rollouts (~25 device dispatches for everything vs ~800
         # eager round-trips in the per-model loop)
         model_specs = []
-        results = _run_models_batched(cfg, fields, u_t, u, train_sl, test_sl, k_list)
+        with st("models_batched"):
+            results = _run_models_batched(cfg, fields, u_t, u, train_sl, test_sl, k_list)
 
     if cfg.include_fourth_order:
         from pdx.library.dictionaries import FOURTH_ORDER_TERMS, fourth_order_term_fields
@@ -408,6 +424,9 @@ def run(cfg: AnalyzeConfig, U_raw: np.ndarray | None = None) -> dict[str, Any]:
 
     if cfg.robust_regression:
         results = []
+    _loop_timer = st("models_loop") if model_specs else None
+    if _loop_timer is not None:
+        _loop_timer.__enter__()
     for model_name, names, fields_m in model_specs:
         terms = jnp.stack([fields_m[n] for n in names], axis=0)  # (p, T, H, W)
         p = len(names)
@@ -489,12 +508,15 @@ def run(cfg: AnalyzeConfig, U_raw: np.ndarray | None = None) -> dict[str, Any]:
             }
         )
 
+    if _loop_timer is not None:
+        _loop_timer.__exit__(None, None, None)
     k_eval = k_list[-1] if k_list else 0
     best_simple = select_best(results, max_active=5, k_eval=k_eval)
     best_overall = select_best(results, max_active=None, k_eval=k_eval)
 
-    spatial_eval = _spatial_holdout(cfg, fields, u_t, u, best_overall["name"], mh, mw, axis="lr")
-    spatial_eval_tb = _spatial_holdout(cfg, fields, u_t, u, best_overall["name"], mh, mw, axis="tb")
+    with st("spatial_holdout"):
+        spatial_eval = _spatial_holdout(cfg, fields, u_t, u, best_overall["name"], mh, mw, axis="lr")
+        spatial_eval_tb = _spatial_holdout(cfg, fields, u_t, u, best_overall["name"], mh, mw, axis="tb")
 
     b_names, b_coeffs = best_overall["names"], best_overall["coeffs"]
     # the best model's test-split curve was already computed above — reuse it
@@ -502,34 +524,35 @@ def run(cfg: AnalyzeConfig, U_raw: np.ndarray | None = None) -> dict[str, Any]:
     # both spatial-mask curves from ONE compiled bundle (vs 20 per-k programs)
     lr_test_mask = _space_mask(mh, mw, cfg.space_train_frac, "lr")[1]
     tb_test_mask = _space_mask(mh, mw, cfg.space_train_frac, "tb")[1]
-    if k_list and mt > 1:
-        from pdx.library.dictionaries import FOURTH_ORDER_TERMS
+    with st("best_rollout_bundle"):
+        if k_list and mt > 1:
+            from pdx.library.dictionaries import FOURTH_ORDER_TERMS
 
-        if set(b_names) <= set(ANALYZE13):
-            term_set, superset = "real13", ANALYZE13
+            if set(b_names) <= set(ANALYZE13):
+                term_set, superset = "real13", ANALYZE13
+            else:
+                term_set, superset = "fourth25", FOURTH_ORDER_TERMS
+            dense = jnp.asarray(dense_coeffs(b_names, b_coeffs, superset)[None], u.dtype)
+            masks2 = jnp.stack(
+                [lr_test_mask.astype(u.dtype), tb_test_mask.astype(u.dtype)]
+            )
+            rm_b, nrm_b = rollout_curve_bundle(
+                u, dense,
+                jnp.asarray(dt, u.dtype), jnp.asarray(cfg.dx, u.dtype), jnp.asarray(cfg.dy, u.dtype),
+                masks2, k_max=max(k_list), t0=0, t1=mt, term_set=term_set,
+            )
+            rm_b, nrm_b = np.asarray(rm_b), np.asarray(nrm_b)
+            rollout_lr = {
+                k: {"rmse": float(rm_b[0, k - 1, 1]), "nrmse": float(nrm_b[0, k - 1, 1])}
+                for k in k_list
+            }
+            rollout_tb = {
+                k: {"rmse": float(rm_b[0, k - 1, 2]), "nrmse": float(nrm_b[0, k - 1, 2])}
+                for k in k_list
+            }
         else:
-            term_set, superset = "fourth25", FOURTH_ORDER_TERMS
-        dense = jnp.asarray(dense_coeffs(b_names, b_coeffs, superset)[None], u.dtype)
-        masks2 = jnp.stack(
-            [lr_test_mask.astype(u.dtype), tb_test_mask.astype(u.dtype)]
-        )
-        rm_b, nrm_b = rollout_curve_bundle(
-            u, dense,
-            jnp.asarray(dt, u.dtype), jnp.asarray(cfg.dx, u.dtype), jnp.asarray(cfg.dy, u.dtype),
-            masks2, k_max=max(k_list), t0=0, t1=mt, term_set=term_set,
-        )
-        rm_b, nrm_b = np.asarray(rm_b), np.asarray(nrm_b)
-        rollout_lr = {
-            k: {"rmse": float(rm_b[0, k - 1, 1]), "nrmse": float(nrm_b[0, k - 1, 1])}
-            for k in k_list
-        }
-        rollout_tb = {
-            k: {"rmse": float(rm_b[0, k - 1, 2]), "nrmse": float(nrm_b[0, k - 1, 2])}
-            for k in k_list
-        }
-    else:
-        rollout_lr = {k: {"rmse": float("nan"), "nrmse": float("nan")} for k in k_list}
-        rollout_tb = {k: {"rmse": float("nan"), "nrmse": float("nan")} for k in k_list}
+            rollout_lr = {k: {"rmse": float("nan"), "nrmse": float("nan")} for k in k_list}
+            rollout_tb = {k: {"rmse": float("nan"), "nrmse": float("nan")} for k in k_list}
 
     out: dict[str, Any] = {
         "config": dataclasses.asdict(cfg),
@@ -545,6 +568,7 @@ def run(cfg: AnalyzeConfig, U_raw: np.ndarray | None = None) -> dict[str, Any]:
     }
 
     if cfg.write_artifacts:
+      with st("artifacts_and_figures"):
         out_dir = Path(cfg.output_dir)
         # display-converted copies for the artifact contract
         def displayed(r: dict) -> dict:
@@ -615,6 +639,8 @@ def run(cfg: AnalyzeConfig, U_raw: np.ndarray | None = None) -> dict[str, Any]:
             )
         except Exception as e:  # pragma: no cover - parity with reference guard
             print(f"   (skipped qualitative rollout snapshot: {e})")
+    if timer is not None:
+        out["stage_seconds"] = dict(timer.stages)
     return out
 
 
@@ -743,6 +769,8 @@ def cmd_analyze(argv: list[str]) -> int:
     parser.add_argument("--dtype", default="float64")
     parser.add_argument("--skip", type=int, default=25, help="crop margin in working pixels")
     parser.add_argument("--subsample", type=int, default=12, help="spatial subsample stride")
+    parser.add_argument("--profile", action="store_true",
+                        help="print the per-stage wall-clock breakdown")
     args = parser.parse_args(argv)
     cfg = AnalyzeConfig(
         data_dir=args.data_dir,
@@ -758,7 +786,14 @@ def cmd_analyze(argv: list[str]) -> int:
         subsample=args.subsample,
     )
     cfg = config_from_env(cfg)  # reference env-var overrides (PDE_*)
-    out = run(cfg)
+    timer = None
+    if args.profile:
+        from pdx.utils.profiling import StageTimer
+
+        timer = StageTimer()
+    out = run(cfg, timer=timer)
+    if timer is not None:
+        print(timer.report())
     print(f"Best overall: {out['best_overall']['name']}")
     print(f"  {out['best_overall']['equation']}")
     print(f"  test R2={out['best_overall']['r2']:.6f}")

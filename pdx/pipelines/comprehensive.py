@@ -417,8 +417,8 @@ def build_methods(cfg: ComprehensiveConfig, dx: float, dt_frame: float) -> dict[
 
 
 def _method_specs(cfg: ComprehensiveConfig) -> dict[str, tuple[str, Callable | None]]:
-    """(family, preprocess) per method. Families: 'fd' and 'fourier' batch
-    into one vmapped ridge dispatch each; the rest run individually in visit
+    """(family, preprocess) per method. The 'fourier' ridge family batches
+    into one vmapped dispatch per regime; the rest run individually in visit
     order (huber = async single dispatch; ransac/weak/ensemble sync on host
     by construction)."""
     # NOTE: every ridge method uses use_fourier=True — the reference's
@@ -459,7 +459,7 @@ def _run_methods_batched(
     (subsample indices, weak-form consumed draw, ensemble bootstraps) happens
     in exactly the reference sequence — coefficients are identical to the
     sequential path; only the dispatch structure changes (one vmapped solve
-    for the 'fd' family, one for 'fourier', instead of 14 separate chains).
+    for the whole ridge family instead of 14 separate chains).
     """
     specs = _method_specs(cfg)
     T, H, W = data.shape
@@ -467,7 +467,7 @@ def _run_methods_batched(
     n_total = (T - 1) * (H - 2 * margin) * (W - 2 * margin)
     n_samples = min(cfg.n_subsample, n_total)
 
-    family: dict[str, list] = {"fd": [], "fourier": []}
+    family: dict[str, list] = {"fourier": []}
     singles: dict[str, jnp.ndarray] = {}
     results: dict[str, dict] = {}
     times: dict[str, float] = {}
@@ -476,7 +476,7 @@ def _run_methods_batched(
         fam, pre = specs[name]
         t0 = time.time()
         try:
-            if fam in ("fd", "fourier"):
+            if fam == "fourier":
                 d_pre = pre(data)
                 idx = np.random.choice(n_total, n_samples, replace=False)
                 family[fam].append((name, d_pre, jnp.asarray(idx)))
@@ -495,8 +495,11 @@ def _run_methods_batched(
                 coef = irls_huber(Xs - xm, ys - ym, alpha=1e-4, delta=1.35, max_iter=200)
                 singles[name] = coef / scales
             elif fam == "ransac":
+                # Fourier derivatives — sindy_discover's default, matching the
+                # reference M08 (comprehensive_benchmark.py:485,352) and this
+                # module's sequential path
                 singles[name] = jnp.asarray(
-                    sindy_discover(data, dx, dt_frame, use_fourier=False,
+                    sindy_discover(data, dx, dt_frame,
                                    regressor="ransac", n_subsample=cfg.n_subsample)
                 )
             elif fam == "weak":
@@ -514,7 +517,7 @@ def _run_methods_batched(
     # mesh when one is available (SURVEY §2.9: the benchmark-matrix axis)
     from pdx.shard.mesh import maybe_shard_leading
 
-    for fam, use_fourier in (("fd", False), ("fourier", True)):
+    for fam, use_fourier in (("fourier", True),):
         jobs = family[fam]
         if not jobs:
             continue

@@ -171,11 +171,54 @@ def run(cfg: ImprovedRegistrationConfig, U_raw: np.ndarray | None = None) -> dic
         "working_shape": (mt, mh, mw),
     }
     if cfg.write_artifacts:
+        out_dir = Path(cfg.output_dir)
         write_json(
-            Path(cfg.output_dir) / "registration_study.json",
+            out_dir / "registration_study.json",
             {k: v for k, v in out.items() if k != "config"},
         )
+        # SLIDE1-4 (pde_discovery_improved_registration.py:254,347,532,592)
+        # guarded like the reference's qualitative-figure blocks: a rendering
+        # failure must not sink the discovery results
+        try:
+            _render_slides(cfg, out_dir, U, U_fb, U_dis, m_fb, m_dis, method,
+                           U_reg, u_t, lap, u_x, u_y, coeffs, y, y_pred, r2,
+                           (mt, mh, mw))
+        except Exception as e:  # pragma: no cover - parity with reference guard
+            print(f"   (skipped slide rendering: {e})")
     return out
+
+
+def _render_slides(cfg, out_dir, U, U_fb, U_dis, m_fb, m_dis, method, U_reg,
+                   u_t, lap, u_x, u_y, coeffs, y, y_pred, r2, working_shape):
+    from pdx.report.pipeline_figures import (
+        slide1_registration_quality,
+        slide2_flow_fields,
+        slide3_pde_results,
+        slide4_spatiotemporal,
+    )
+    from pdx.register.farneback import _blur, farneback_flow
+
+    Un, Ufb, Udis = np.asarray(U), np.asarray(U_fb), np.asarray(U_dis)
+    slide1_registration_quality(out_dir, Un, Ufb, Udis, m_fb, m_dis)
+
+    # one flow pair per method at the rendered frame (the slide shows the
+    # interframe flow field the registration acted on)
+    fi = min(15, U.shape[0] - 2)
+    fb = farneback_flow(U[fi], U[fi + 1])
+    fb = _blur(jnp.stack(fb), 11, 2.0, True)
+    dz = dis_flow(U[fi], U[fi + 1])
+    dz = _blur(jnp.stack(dz), 11, 2.0, True)
+    slide2_flow_fields(out_dir, Un, np.asarray(fb), np.asarray(dz), frame_idx=fi)
+
+    sel = m_dis if method == "DIS" else m_fb
+    slide3_pde_results(
+        out_dir, np.asarray(coeffs), TERM_NAMES, np.asarray(y), np.asarray(y_pred),
+        r2, method, sel["improvement_pct"], working_shape,
+    )
+    slide4_spatiotemporal(
+        out_dir, np.asarray(U_reg), np.asarray(u_t), np.asarray(lap),
+        np.asarray(u_x), np.asarray(u_y),
+    )
 
 
 def cmd_improved_registration(argv: list[str]) -> int:

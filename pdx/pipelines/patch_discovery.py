@@ -201,6 +201,10 @@ def run(cfg: PatchDiscoveryConfig, U_raw: np.ndarray | None = None) -> dict[str,
     coeffs, m_tr_v, m_te_v = _all_patch_fits(
         d_tr, d_te, names=tuple(names), alpha=cfg.alpha, threshold=cfg.threshold
     )
+    # achieved placement of the patch-fit result (before any host transfer):
+    # lets tests assert the mesh run actually PARTITIONED the patch axis
+    # instead of XLA silently gathering to one device
+    n_shard_devices = len({s.device for s in coeffs.addressable_shards})
     C = np.asarray(coeffs)[:P]  # (P, p)
     # convert each (P,) metric vector once, not once per patch (each
     # np.asarray on a device array is a host round-trip)
@@ -251,6 +255,7 @@ def run(cfg: PatchDiscoveryConfig, U_raw: np.ndarray | None = None) -> dict[str,
         "patch_coeffs": C,
         "stats": stats,
         "n_patches": P,
+        "n_shard_devices": n_shard_devices,
         "working_shape": (t_len, h, w),
         "patch_train_metrics": patch_train_metrics,
         "patch_test_metrics": patch_test_metrics,
@@ -268,6 +273,14 @@ def run(cfg: PatchDiscoveryConfig, U_raw: np.ndarray | None = None) -> dict[str,
             "one_step_rmse": one_step_rmse, "n_patches": P,
             "terms": out["names"], "agg_coeffs": agg,
         })
+        # PATCH_PDE_SUMMARY.png (patch_based_pde_discovery.py:564-565)
+        try:
+            from pdx.report.pipeline_figures import patch_pde_summary
+
+            patch_pde_summary(out_dir, out["names"], stats, m_test,
+                              one_step_rmse, cfg.stability_freq)
+        except Exception as e:  # pragma: no cover - keep discovery results robust
+            print(f"   (skipped PATCH_PDE_SUMMARY.png: {e})")
     return out
 
 

@@ -304,6 +304,9 @@ def run(cfg: PatchSindyConfig, U_raw: np.ndarray | None = None) -> dict[str, Any
         dt=cfg.dt, dx=cfg.dx, dy=cfg.dy, alpha=cfg.alpha,
         sb=cfg.skip_boundary, sub=cfg.subsample,
     )
+    # achieved placement (pre-transfer): tests assert the mesh run actually
+    # partitioned the patch axis rather than gathering to one device
+    n_shard_devices = len({s.device for s in coeffs.addressable_shards})
     C = np.asarray(coeffs)[:P_orig]
     Q = np.maximum(np.asarray(qual)[:P_orig], 0.0)
 
@@ -326,14 +329,26 @@ def run(cfg: PatchSindyConfig, U_raw: np.ndarray | None = None) -> dict[str, Any
         "coeffs_std": std,
         "patch_coeffs": C,
         "n_patches": int(C.shape[0]),
+        "n_shard_devices": n_shard_devices,
         "avg_quality": float(Q.mean()),
         "quality_std": float(Q.std()),
     }
     if cfg.write_artifacts:
+        out_dir = Path(cfg.output_dir)
         write_json(
-            Path(cfg.output_dir) / "patch_sindy_results.json",
+            out_dir / "patch_sindy_results.json",
             {k: v for k, v in out.items() if k not in ("config", "patch_coeffs")},
         )
+        # per-run results PNG (patch_based_sindy.py:641-642 via :525-572)
+        try:
+            from pdx.report.pipeline_figures import patch_sindy_results
+
+            patch_sindy_results(
+                out_dir, np.asarray(U), coords, patch_size, ens, std,
+                TERM_NAMES, int(C.shape[0]),
+            )
+        except Exception as e:  # pragma: no cover - keep discovery results robust
+            print(f"   (skipped patch_based_sindy_results.png: {e})")
     return out
 
 

@@ -65,3 +65,25 @@ def xla_trace(log_dir: str | Path = "outputs/profile"):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+_NULL_TIMER_CTX = contextlib.nullcontext()
+
+
+def null_stage(*_args, **_kwargs):
+    """Stage no-op for un-profiled runs (keeps call sites branch-free)."""
+    return _NULL_TIMER_CTX
+
+
+def sync_point(x):
+    """Force one tiny device->host read so a stage's wall-clock includes its
+    device work. Needed because ``block_until_ready`` returns at enqueue on
+    the tunneled axon backend (see docs/RESULTS.md) — only an actual read
+    drains the queue. Returns ``x`` unchanged."""
+    import jax
+    import jax.numpy as jnp
+
+    leaf = jax.tree_util.tree_leaves(x)
+    if leaf:
+        float(jnp.ravel(leaf[0])[0])
+    return x

@@ -197,8 +197,9 @@ class TestBatchedSolves:
         common = dict(
             n_seconds=0.25,
             methods=(
-                "M01_baseline", "M02_gaussian", "M07_huber", "M09_fourier",
-                "M10_weak_form", "M11_ensemble", "M12_dmd", "M18_detrend",
+                "M01_baseline", "M02_gaussian", "M07_huber", "M08_ransac",
+                "M09_fourier", "M10_weak_form", "M11_ensemble", "M12_dmd",
+                "M18_detrend",
             ),
             noises=("N2_noise",),
             write_artifacts=False,

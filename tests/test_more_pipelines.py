@@ -146,6 +146,14 @@ class TestImprovedRegistration:
         assert len(out["coeffs"]) == 13
         art = json.loads((tmp_path / "registration_study.json").read_text())
         assert "farneback_metrics" in art and "dis_metrics" in art
+        # pipeline-local slide assets (reference :254,:347,:532,:592)
+        for name in (
+            "SLIDE1_Registration_Quality_51images.png",
+            "SLIDE2_Flow_Fields_51images.png",
+            "SLIDE3_PDE_Results_51images.png",
+            "SLIDE4_Spatiotemporal_51images.png",
+        ):
+            assert (tmp_path / name).stat().st_size > 10_000, name
 
 
 class TestPatchSindy:
@@ -162,6 +170,8 @@ class TestPatchSindy:
         assert np.all(np.isfinite(out["coeffs"]))
         art = json.loads((tmp_path / "patch_sindy_results.json").read_text())
         assert art["term_names"][6] == "∇²u"
+        # per-run results PNG (patch_based_sindy.py:641-642)
+        assert (tmp_path / "patch_based_sindy_results.png").stat().st_size > 10_000
 
     def test_ecc_registration_path(self, tiff_dir, tmp_path):
         from pdx.pipelines.patch_sindy import PatchSindyConfig, run

@@ -209,6 +209,8 @@ class TestPatchDiscovery:
         assert "lap(u)" in csv
         report = (tmp_path / "PATCH_PDE_REPORT.txt").read_text()
         assert "Aggregated PDE:" in report
+        # the summary figure (patch_based_pde_discovery.py:564-565)
+        assert (tmp_path / "PATCH_PDE_SUMMARY.png").stat().st_size > 10_000
 
     def test_localpoly_matches_reference_lstsq(self):
         """Batched extraction operator == per-point lstsq (oracle parity)."""

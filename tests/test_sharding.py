@@ -99,6 +99,11 @@ class TestPipelineMesh:
         np.testing.assert_allclose(
             r_on["stats"]["coeffs"], r_off["stats"]["coeffs"], rtol=1e-10, atol=1e-13
         )
+        # placement, not just values: mesh='on' must actually partition the
+        # patch-fit result over every virtual device (XLA gathering the vmap
+        # onto one device would still pass the value checks above)
+        assert r_on["n_shard_devices"] == len(jax.devices())
+        assert r_off["n_shard_devices"] == 1
 
     def test_patch_sindy_sharded_matches_single(self, tmp_path):
         from tests.test_real_pipelines import make_synthetic_stack
@@ -117,3 +122,5 @@ class TestPipelineMesh:
             r_on["patch_coeffs"], r_off["patch_coeffs"], rtol=1e-7, atol=1e-9
         )
         np.testing.assert_allclose(r_on["coeffs"], r_off["coeffs"], rtol=1e-7, atol=1e-9)
+        assert r_on["n_shard_devices"] == len(jax.devices())
+        assert r_off["n_shard_devices"] == 1

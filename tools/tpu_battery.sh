@@ -1,25 +1,91 @@
 #!/bin/bash
 # TPU measurement battery — run when `pdx doctor` shows a ~ms-fast
 # device->host read (the tunnel wedges for hours at a stretch; see CLAUDE.md).
-# Writes results under outputs/ so they survive into the repo.
+#
+# Wedge-resilient by design: every section is timeout-bounded and flushes its
+# own stamped artifact the moment it finishes, so a tunnel wedge mid-battery
+# loses at most the section it happened in. The battery ends with an explicit
+# COMPLETE / INCOMPLETE marker in STATUS (and on stdout).
+#
+# Durable artifacts land under docs/measurements/battery_<stamp>/ (tracked in
+# git); bench.py additionally writes its own per-run stamped record.
+set -u
 cd "$(dirname "$0")/.."
-mkdir -p outputs
-{
-echo "=== tpu_battery $(date -u)"
-echo "=== bench.py"
-timeout 900 python bench.py 2>&1 | grep -v WARNING
-echo "=== bench_details"
-cat outputs/bench_details.json
-echo "=== real_bench TPU"
-timeout 3500 python tools/real_bench.py /tmp/synth51 --out outputs/real_bench_tpu.json 2>&1 | grep -v WARNING | tail -8
-echo "=== comprehensive batched (timed)"
-timeout 1200 python - <<'PY' 2>&1 | grep -v WARNING
-import time
+STAMP=$(date -u +%Y%m%dT%H%M%SZ)
+DIR="docs/measurements/battery_${STAMP}"
+mkdir -p "$DIR" outputs
+STATUS="$DIR/STATUS"
+: > "$STATUS"
+FAILED=""
+
+note() { echo "$*" | tee -a "$STATUS"; }
+
+run_section() {
+  # run_section <name> <timeout_s> <cmd...>: tee output to its own log,
+  # record ok/fail immediately, never abort the battery.
+  local name="$1" tmo="$2"; shift 2
+  echo "=== section $name ($(date -u +%H:%M:%SZ))"
+  if timeout "$tmo" "$@" > "$DIR/${name}.log" 2>&1; then
+    note "ok $name"
+  else
+    note "FAIL $name (rc=$? — timeout or error; see ${name}.log)"
+    FAILED="$FAILED $name"
+  fi
+  grep -v -i warning "$DIR/${name}.log" | tail -6
+}
+
+note "battery $STAMP start"
+
+# 0. tunnel probe: a tiny matmul + device->host read. If this can't finish
+#    in 120 s the tunnel is wedged — mark and bail out before burning hours.
+if ! timeout 120 python - > "$DIR/probe.log" 2>&1 <<'PY'
+import time, jax, jax.numpy as jnp
+t0 = time.time()
+x = jnp.ones((128, 128))
+v = float((x @ x)[0, 0])
+print(f"probe ok: backend={jax.default_backend()} read={time.time()-t0:.3f}s value={v}")
+PY
+then
+  note "FAIL probe (tunnel wedged — battery aborted before any measurement)"
+  note "battery INCOMPLETE (probe)"
+  exit 1
+fi
+note "ok probe: $(tail -1 "$DIR/probe.log")"
+
+# 1. the driver bench (writes docs/measurements/bench_tpu_<stamp>.json itself)
+run_section bench 900 python bench.py
+
+# 2. real-image pipeline sweep (cold+warm x 4 pipelines)
+run_section real_bench 3600 python tools/real_bench.py /tmp/synth51 \
+  --out "$DIR/real_bench.json"
+[ -f "$DIR/real_bench.json" ] && cp "$DIR/real_bench.json" outputs/real_bench_tpu.json
+
+# 3. comprehensive 21x8 matrix, batched dispatch, cold + warm (VERDICT r2 #2)
+run_section comprehensive 2400 python - "$DIR/comprehensive.json" <<'PY'
+import json, sys, time
 import pdx
 pdx.enable_compilation_cache()
 from pdx.pipelines.comprehensive import ComprehensiveConfig, run
 cfg = ComprehensiveConfig(write_artifacts=False)
-t0=time.time(); run(cfg); print(f"comprehensive cold: {time.time()-t0:.1f}s")
-t0=time.time(); run(cfg); print(f"comprehensive warm: {time.time()-t0:.1f}s")
+out = {}
+t0 = time.time(); run(cfg); out["cold_s"] = round(time.time() - t0, 1)
+# flush the cold number immediately: a wedge during the warm run must not
+# lose it
+json.dump(out, open(sys.argv[1], "w"), indent=2)
+t0 = time.time(); run(cfg); out["warm_s"] = round(time.time() - t0, 1)
+import jax
+out["backend"] = jax.default_backend()
+json.dump(out, open(sys.argv[1], "w"), indent=2)
+print(out)
 PY
-} 2>&1 | tee outputs/tpu_battery.log
+
+# 4. virtual-mesh scaling curve (CPU — cheap, but record it alongside)
+run_section mesh_scaling 1200 python tools/mesh_scaling.py \
+  --out "$DIR/mesh_scaling.json"
+
+if [ -z "$FAILED" ]; then
+  note "battery COMPLETE"
+else
+  note "battery INCOMPLETE (failed:$FAILED)"
+fi
+cp "$STATUS" outputs/tpu_battery_status.txt 2>/dev/null || true
