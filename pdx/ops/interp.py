@@ -91,6 +91,72 @@ def bilinear_sample_reflect(f: Array, x: Array, y: Array) -> Array:
     )
 
 
+def _gather2d_flat_batch(f: Array, ix: Array, iy: Array) -> Array:
+    """Per-batch-element gather via ONE flat 1-D take.
+
+    ``f`` is (B, H, W) or (B, C, H, W); ``ix``/``iy`` are integer (B, h, w)
+    index arrays that DIFFER per batch element. The naive ``vmap`` of
+    ``f[ix, iy]`` lowers to a gather with batching dimensions, which XLA:TPU
+    executes on a pathologically slow path (measured 100-400x slower than
+    the single-example program — farneback.py round-2 notes). Flattening the
+    operand and folding the batch/channel offsets into the indices produces
+    a single plain 1-D gather, which lowers to the fast path on every
+    backend.
+    """
+    if f.ndim == 3:
+        B, H, W = f.shape
+        idx = jnp.arange(B, dtype=jnp.int32)[:, None, None] * (H * W) + ix * W + iy
+        return jnp.take(f.reshape(-1), idx.reshape(-1)).reshape(ix.shape)
+    B, C, H, W = f.shape
+    base = (
+        jnp.arange(B, dtype=jnp.int32)[:, None, None, None] * (C * H * W)
+        + jnp.arange(C, dtype=jnp.int32)[None, :, None, None] * (H * W)
+    )
+    idx = base + (ix[:, None] * W + iy[:, None])
+    return jnp.take(f.reshape(-1), idx.reshape(-1)).reshape(idx.shape)
+
+
+def bilinear_sample_reflect_batch(f: Array, x: Array, y: Array) -> Array:
+    """Batched :func:`bilinear_sample_reflect`: per-element fractional
+    coordinates over a leading batch axis, executed as flat 1-D gathers.
+
+    ``f``: (B, H, W) or (B, C, H, W); ``x``/``y``: (B, h, w) floats.
+    Returns (B, h, w) or (B, C, h, w).
+    """
+    H, W = f.shape[-2], f.shape[-1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    tx = (x - x0).astype(f.dtype)
+    ty = (y - y0).astype(f.dtype)
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    xa = _reflect101_index(x0i, H)
+    xb = _reflect101_index(x0i + 1, H)
+    ya = _reflect101_index(y0i, W)
+    yb = _reflect101_index(y0i + 1, W)
+    f00 = _gather2d_flat_batch(f, xa, ya)
+    f01 = _gather2d_flat_batch(f, xa, yb)
+    f10 = _gather2d_flat_batch(f, xb, ya)
+    f11 = _gather2d_flat_batch(f, xb, yb)
+    if f.ndim == 4:
+        tx, ty = tx[:, None], ty[:, None]
+    return (
+        f00 * (1 - tx) * (1 - ty)
+        + f01 * (1 - tx) * ty
+        + f10 * tx * (1 - ty)
+        + f11 * tx * ty
+    )
+
+
+def warp_flow_batch(f: Array, flow_x: Array, flow_y: Array) -> Array:
+    """Batched backward-flow warp (reflect border): ``f``/flows (B, H, W)."""
+    H, W = f.shape[-2], f.shape[-1]
+    dtype = flow_x.dtype
+    r = jnp.arange(H, dtype=dtype)[:, None]
+    c = jnp.arange(W, dtype=dtype)[None, :]
+    return bilinear_sample_reflect_batch(f, r + flow_x, c + flow_y)
+
+
 def shift_periodic(f: Array, shift_x: Array | float, shift_y: Array | float) -> Array:
     """Subpixel translation with periodic wrap: out[r, c] = f(r - sx, c - sy).
 

@@ -58,6 +58,11 @@ class PatchSindyConfig:
     # register the full frame sequence once before patch extraction
     # (T-1 large flows, ~4x less flow work and no patch-edge artifacts)
     flow_scope: str = "patch"  # patch | frame
+    # batch the patch axis of the per-patch flows: one program per time step
+    # covering every patch (T-1 dispatches) instead of P*(T-1) chained
+    # single-patch flows; identical math per patch (flat-gather formulation,
+    # see ops/interp.py::_gather2d_flat_batch)
+    flow_batch: bool = True
     max_patches: int | None = None
     var_suppress_factor: float = 2.0
     dtype: str = "float64"
@@ -187,6 +192,11 @@ def _mean_stack(*xs):
 
 
 @jax.jit
+def _first_frames(seqs):
+    return seqs[:, 0]
+
+
+@jax.jit
 def _flow_warp_step(seqs, prev, pi, t):
     from pdx.register.farneback import farneback_flow
     from pdx.ops.interp import warp_flow
@@ -198,6 +208,32 @@ def _flow_warp_step(seqs, prev, pi, t):
     )
     warped = warp_flow(cur, fx, fy, border="reflect")
     return warped, 1.0 / (jnp.mean(jnp.sqrt(fx**2 + fy**2)) + 1.0)
+
+
+@jax.jit
+def _flow_warp_step_all_patches(seqs, prev, t):
+    """One time step of the per-patch registration chain for EVERY patch:
+    (P, ps, ps) batched Farnebäck via the flat-gather formulation. Same math
+    per patch as _flow_warp_step — only the dispatch structure changes."""
+    from pdx.register.farneback import farneback_flow
+    from pdx.ops.interp import warp_flow_batch
+
+    cur = jax.lax.dynamic_index_in_dim(seqs, t, 1, keepdims=False)  # (P, ps, ps)
+    fx, fy = farneback_flow(
+        prev, cur, levels=3, winsize=15, iterations=5,
+        poly_n=7, poly_sigma=1.5, gaussian_win=False, batched=True,
+    )
+    warped = warp_flow_batch(cur, fx, fy)
+    q = 1.0 / (jnp.mean(jnp.sqrt(fx**2 + fy**2), axis=(-2, -1)) + 1.0)
+    return warped, q
+
+
+@jax.jit
+def _assemble_time(first, frames, quals):
+    """(P, ps, ps) first frame + (T-1)-lists -> registered (P, T, ps, ps)
+    sequences and per-patch mean qualities, as ONE compiled program."""
+    seq = jnp.stack([first, *frames], axis=1)
+    return seq, jnp.mean(jnp.stack(quals, axis=0), axis=0)
 
 
 def run(cfg: PatchSindyConfig, U_raw: np.ndarray | None = None) -> dict[str, Any]:
@@ -267,12 +303,24 @@ def run(cfg: PatchSindyConfig, U_raw: np.ndarray | None = None) -> dict[str, Any
         pairs = [_ecc_one(seqs, i) for i in range(P)]
         seqs = stack_frames(*[p[0] for p in pairs])
         qualities = stack_frames(*[p[1] for p in pairs])
-    elif cfg.registration_method == "optical_flow":
+    elif cfg.registration_method == "optical_flow" and cfg.flow_batch:
         # per-patch warp-to-previous Farnebäck, quality = 1/(1 + mean |flow|)
-        # (patch_based_sindy.py:198-221); host-chained jitted flows per frame
-        # (vmap/scan gather pathology — see farneback_register_sequence).
-        # All indexing is dynamic inside ONE jitted step: the eager
-        # seq[t]-per-frame formulation cost P*T extra device dispatches.
+        # (patch_based_sindy.py:198-221). The patch axis is batched: each
+        # time step runs ONE (P, ps, ps) flat-gather Farnebäck program for
+        # every patch — T-1 dispatches total instead of the P*(T-1) chained
+        # single-patch flows of the reference structure; only the temporal
+        # warp-to-previous dependency stays sequential.
+        T_seq = int(seqs.shape[1])
+        prev = _first_frames(seqs)
+        frames, qs = [], []
+        for t in range(1, T_seq):
+            prev, q = _flow_warp_step_all_patches(seqs, prev, t)
+            frames.append(prev)
+            qs.append(q)
+        seqs, qualities = _assemble_time(_first_frames(seqs), frames, qs)
+    elif cfg.registration_method == "optical_flow":
+        # legacy dispatch structure (flow_batch=False): host-chained jitted
+        # single-patch flows — kept for A/B measurement on the tunnel
         from pdx.register.farneback import stack_frames
 
         new_seqs, qualities = [], []

@@ -38,7 +38,13 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
-from pdx.ops.interp import bilinear_sample_reflect, resize_bilinear, warp_flow
+from pdx.ops.interp import (
+    bilinear_sample_reflect,
+    bilinear_sample_reflect_batch,
+    resize_bilinear,
+    warp_flow,
+    warp_flow_batch,
+)
 
 
 def _poly_exp_kernels(n: int, sigma: float) -> tuple[np.ndarray, np.ndarray]:
@@ -145,8 +151,14 @@ def _blur(f: Array, ksize: int, sigma: float, gaussian: bool) -> Array:
     return conv_axis(conv_axis(f, f.ndim - 2), f.ndim - 1)
 
 
-def _flow_iteration(exp1, exp2, flow, winsize, gaussian_win):
-    """One Farnebäck displacement-update iteration at a fixed level."""
+def _flow_iteration(exp1, exp2, flow, winsize, gaussian_win, batched=False):
+    """One Farnebäck displacement-update iteration at a fixed level.
+
+    ``batched=True``: all fields carry a leading batch axis (independent
+    frame pairs, e.g. a patch grid) and the expansion fetch runs as a flat
+    1-D gather (``bilinear_sample_reflect_batch``) — the vmap-style gather
+    with batching dimensions is the op XLA:TPU lowers 100-400x slower.
+    """
     _c1, b1x, b1y, a1xx, a1yy, a1xy = exp1
     _c2, b2x, b2y, a2xx, a2yy, a2xy = exp2
     H, W = b1x.shape[-2], b1x.shape[-1]
@@ -160,9 +172,12 @@ def _flow_iteration(exp1, exp2, flow, winsize, gaussian_win):
     # ONE batched gather for the five expansion-fetch fields: TPU gather cost
     # is index-arithmetic-bound, so five separate 512^2 fetches cost ~61 ms
     # where one (5, H, W) fetch costs ~13 ms (measured on v5e)
-    f_axx, f_ayy, f_axy, f_b2x, f_b2y = bilinear_sample_reflect(
-        jnp.stack([a2xx, a2yy, a2xy, b2x, b2y], axis=-3), xr, xc
-    )
+    stack5 = jnp.stack([a2xx, a2yy, a2xy, b2x, b2y], axis=-3)
+    if batched:
+        fetched = bilinear_sample_reflect_batch(stack5, xr, xc)
+        f_axx, f_ayy, f_axy, f_b2x, f_b2y = jnp.moveaxis(fetched, -3, 0)
+    else:
+        f_axx, f_ayy, f_axy, f_b2x, f_b2y = bilinear_sample_reflect(stack5, xr, xc)
     A_xx = 0.5 * (a1xx + f_axx)
     A_yy = 0.5 * (a1yy + f_ayy)
     A_xy = 0.5 * (a1xy + f_axy)
@@ -198,6 +213,7 @@ def _flow_iteration(exp1, exp2, flow, winsize, gaussian_win):
         "poly_sigma",
         "gaussian_win",
         "refine",
+        "batched",
     ),
 )
 def farneback_flow(
@@ -212,6 +228,7 @@ def farneback_flow(
     poly_sigma: float = 1.5,
     gaussian_win: bool = True,
     refine: int = 2,
+    batched: bool = False,
 ) -> tuple[Array, Array]:
     """Dense flow (flow_r, flow_c) such that img2(x + flow(x)) ~ img1(x).
 
@@ -248,6 +265,7 @@ def farneback_flow(
         return resize_bilinear(img, shp[0], shp[1])
 
     flow = None
+    lead = img1.shape[:-2]  # () unbatched, (B,) batched
     for shp in reversed(shapes):
         i1 = to_shape(img1, shp)
         i2 = to_shape(img2, shp)
@@ -255,27 +273,30 @@ def farneback_flow(
         exp1 = _poly_exp(i1, g1, x1, invG, n)
         exp2 = _poly_exp(i2, g1, x1, invG, n)
         if flow is None:
-            fx = jnp.zeros(shp, dtype=dtype)
-            fy = jnp.zeros(shp, dtype=dtype)
+            fx = jnp.zeros(lead + shp, dtype=dtype)
+            fy = jnp.zeros(lead + shp, dtype=dtype)
         else:
             scale_r = shp[0] / flow[0].shape[-2]
             scale_c = shp[1] / flow[0].shape[-1]
             fx = resize_bilinear(flow[0], shp[0], shp[1]) * scale_r
             fy = resize_bilinear(flow[1], shp[0], shp[1]) * scale_c
         for _ in range(iterations):
-            fx, fy = _flow_iteration(exp1, exp2, (fx, fy), winsize, gaussian_win)
+            fx, fy = _flow_iteration(exp1, exp2, (fx, fy), winsize, gaussian_win, batched)
         flow = (fx, fy)
 
     # re-warp refinement at full resolution
     fx, fy = flow
     for _ in range(int(refine)):
-        warped2 = warp_flow(img2, fx, fy, border="reflect")
+        if batched:
+            warped2 = warp_flow_batch(img2, fx, fy)
+        else:
+            warped2 = warp_flow(img2, fx, fy, border="reflect")
         exp1 = _poly_exp(img1, g1, x1, invG, n)
         expw = _poly_exp(warped2, g1, x1, invG, n)
         zx = jnp.zeros_like(fx)
         dfx, dfy = zx, zx
         for _ in range(2):
-            dfx, dfy = _flow_iteration(exp1, expw, (dfx, dfy), winsize, gaussian_win)
+            dfx, dfy = _flow_iteration(exp1, expw, (dfx, dfy), winsize, gaussian_win, batched)
         fx = fx + dfx
         fy = fy + dfy
 

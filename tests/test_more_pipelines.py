@@ -184,6 +184,26 @@ class TestPatchSindy:
         out = run(cfg)
         assert out["n_patches"] >= 2
 
+    def test_flow_batch_matches_sequential(self, tiff_dir, tmp_path):
+        """The patch-axis-batched flow chain (one program per time step,
+        flat-gather Farnebäck) must reproduce the legacy per-patch chained
+        dispatch structure exactly — same math, different batching."""
+        from pdx.pipelines.patch_sindy import PatchSindyConfig, run
+
+        common = dict(
+            data_dir=str(tiff_dir), output_dir=str(tmp_path), max_images=5,
+            patch_size=48, overlap=0, skip_boundary=3, subsample=2,
+            min_patches=2, registration_method="optical_flow",
+            flow_scope="patch", max_patches=3, write_artifacts=False,
+        )
+        r_seq = run(PatchSindyConfig(**common, flow_batch=False))
+        r_bat = run(PatchSindyConfig(**common, flow_batch=True))
+        np.testing.assert_allclose(
+            r_bat["patch_coeffs"], r_seq["patch_coeffs"], rtol=1e-9, atol=1e-12
+        )
+        np.testing.assert_allclose(r_bat["coeffs"], r_seq["coeffs"], rtol=1e-9, atol=1e-12)
+        assert abs(r_bat["avg_quality"] - r_seq["avg_quality"]) < 1e-9
+
     def test_frame_scope_optical_flow(self, tiff_dir, tmp_path):
         """flow_scope='frame': one whole-frame registration instead of
         P*(T-1) per-patch flows; coefficients stay finite and the quality
