@@ -135,11 +135,14 @@ def preprocess(cfg: AnalyzeConfig, U_raw: np.ndarray, timer=None) -> jnp.ndarray
 
     dtype = resolve_dtype(cfg.dtype)
     with st("denoise_normalize"):
-        U = jnp.asarray(U_raw, dtype=dtype)
-        T, H, W = U.shape
-        U = resize_area(U, H // cfg.downsample, W // cfg.downsample)
-        U = gaussian_filter_reflect(U, cfg.denoise_sigma1)
-        U = sync((U - U.min()) / (U.max() - U.min()))
+        from pdx.preprocess import resize_denoise_normalize
+
+        T, H, W = U_raw.shape
+        U = sync(resize_denoise_normalize(
+            jnp.asarray(U_raw),
+            out_h=H // cfg.downsample, out_w=W // cfg.downsample,
+            sigma=cfg.denoise_sigma1, dtype_name=jnp.dtype(dtype).name,
+        ))
 
     if cfg.stabilize_translation:
         with st("stabilize"):

@@ -131,11 +131,14 @@ def run(cfg: PatchDiscoveryConfig, U_raw: np.ndarray | None = None) -> dict[str,
     if U_raw is None:
         U_raw = load_images(cfg.data_dir, max_images=cfg.max_images)
 
-    U = jnp.asarray(U_raw, dtype=dtype)
-    T0, H0, W0 = U.shape
-    U = resize_area(U, H0 // cfg.downsample, W0 // cfg.downsample)
-    U = gaussian_filter_reflect(U, cfg.denoise_sigma1)
-    U = (U - U.min()) / (U.max() - U.min() + 1e-12)
+    from pdx.preprocess import resize_denoise_normalize
+
+    T0, H0, W0 = U_raw.shape
+    U = resize_denoise_normalize(
+        jnp.asarray(U_raw),
+        out_h=H0 // cfg.downsample, out_w=W0 // cfg.downsample,
+        sigma=cfg.denoise_sigma1, eps=1e-12, dtype_name=jnp.dtype(dtype).name,
+    )
     if cfg.registration:
         U = farneback_register_sequence(U, warp_sign=-1.0 if cfg.reference_compat_warp else 1.0)
     U = gaussian_filter_reflect(U, cfg.denoise_sigma2)

@@ -202,10 +202,13 @@ def _flow_warp_step(seqs, prev, pi, t):
     from pdx.ops.interp import warp_flow
 
     cur = _patch_frame(seqs, pi, t)
+    # f32 flow compute, pipeline-dtype warp (see farneback._register_step)
+    f32 = jnp.float32 if seqs.dtype == jnp.float64 else seqs.dtype
     fx, fy = farneback_flow(
-        prev, cur, levels=3, winsize=15, iterations=5,
+        prev.astype(f32), cur.astype(f32), levels=3, winsize=15, iterations=5,
         poly_n=7, poly_sigma=1.5, gaussian_win=False,
     )
+    fx, fy = fx.astype(seqs.dtype), fy.astype(seqs.dtype)
     warped = warp_flow(cur, fx, fy, border="reflect")
     return warped, 1.0 / (jnp.mean(jnp.sqrt(fx**2 + fy**2)) + 1.0)
 
@@ -219,10 +222,12 @@ def _flow_warp_step_all_patches(seqs, prev, t):
     from pdx.ops.interp import warp_flow_batch
 
     cur = jax.lax.dynamic_index_in_dim(seqs, t, 1, keepdims=False)  # (P, ps, ps)
+    f32 = jnp.float32 if seqs.dtype == jnp.float64 else seqs.dtype
     fx, fy = farneback_flow(
-        prev, cur, levels=3, winsize=15, iterations=5,
+        prev.astype(f32), cur.astype(f32), levels=3, winsize=15, iterations=5,
         poly_n=7, poly_sigma=1.5, gaussian_win=False, batched=True,
     )
+    fx, fy = fx.astype(seqs.dtype), fy.astype(seqs.dtype)
     warped = warp_flow_batch(cur, fx, fy)
     q = 1.0 / (jnp.mean(jnp.sqrt(fx**2 + fy**2), axis=(-2, -1)) + 1.0)
     return warped, q

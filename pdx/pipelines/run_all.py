@@ -55,7 +55,7 @@ def run(cfg: RunAllConfig) -> dict[str, str]:
         create_method_slide,
     )
 
-    generate_presentation_figures_minimal(out_root / "slides")
+    generate_presentation_figures_minimal(out_root / "slides", data_dir=cfg.data_dir)
     status["figures_minimal"] = "ok"
     create_simple_slide3(out_root / "slides")
     status["slide3"] = "ok"

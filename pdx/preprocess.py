@@ -27,6 +27,29 @@ def preprocess_gaussian(U: Array, sigma: float = 1.0) -> Array:
     return gaussian_filter_reflect(U, sigma)
 
 
+@partial(jax.jit, static_argnames=("out_h", "out_w", "sigma", "eps", "dtype_name"))
+def resize_denoise_normalize(
+    U_raw: Array, *, out_h: int, out_w: int, sigma: float, eps: float = 0.0,
+    dtype_name: str = "float64",
+) -> Array:
+    """Fused preprocessing head shared by the real-image pipelines:
+    INTER_AREA downsample -> cast -> Gaussian denoise -> min-max normalize
+    as ONE compiled program.
+
+    The downsample runs at the input dtype BEFORE the f64 cast — for u8/u16
+    frames the 2x block mean is exact in f32 (sums of <=4 integers are
+    representable), so results are bit-identical to the cast-first order
+    while moving 4x less data through this host's slow memory (the cast-
+    first formulation cost ~40 s of the analyze warm path on CPU).
+    """
+    from pdx.ops.interp import resize_area
+
+    U = resize_area(U_raw, out_h, out_w)
+    U = U.astype(jnp.dtype(dtype_name))
+    U = gaussian_filter_reflect(U, sigma)
+    return (U - U.min()) / (U.max() - U.min() + eps)
+
+
 @partial(jax.jit, static_argnames=("size",))
 def preprocess_median(U: Array, size: int = 3) -> Array:
     if size != 3:

@@ -62,13 +62,38 @@ def model_comparison_figure(slides_dir: str | Path, out_name: str = "MODEL_COMPA
     return out
 
 
-def generate_presentation_figures_minimal(slides_dir: str | Path) -> list[Path]:
+def generate_presentation_figures_minimal(
+    slides_dir: str | Path, data_dir: str | Path | None = None
+) -> list[Path]:
     """FIG1 (model R2/rollout comparison), FIG2 (rollout error growth),
-    FIG3 (best-model coefficients) — the minimal deck assets
-    (generate_presentation_figures_minimal.py)."""
+    FIG3 (best-model coefficients) — the minimal deck assets — plus the
+    reference's exact asset names FIG_DATA_FRAMES.png (3 raw frames, needs
+    ``data_dir``) and FIG_BEST_MODEL_COEFFS.png
+    (generate_presentation_figures_minimal.py:86,152)."""
     slides_dir = Path(slides_dir)
     best, comp = _load_contract(slides_dir)
     outs = []
+
+    # FIG_DATA_FRAMES: first/middle/last raw frames (reference :40-87)
+    if data_dir is not None:
+        try:
+            from pdx.io_host.images import load_images
+
+            U = load_images(data_dir, max_images=51)
+            idxs = [0, U.shape[0] // 2, U.shape[0] - 1]
+            fig, axes = plt.subplots(1, 3, figsize=(13, 4.5))
+            for ax, i in zip(axes, idxs):
+                ax.imshow(U[i], cmap="gray")
+                ax.set_title(f"Frame {i}", fontsize=12, fontweight="bold")
+                ax.axis("off")
+            fig.suptitle("Raw laser-matter frames", fontsize=14, fontweight="bold")
+            plt.tight_layout()
+            p = slides_dir / "FIG_DATA_FRAMES.png"
+            plt.savefig(p, dpi=150, bbox_inches="tight")
+            plt.close(fig)
+            outs.append(p)
+        except Exception:
+            pass  # no readable data dir: the artifact-only assets still render
 
     # FIG1: model comparison (R2 + rollout nRMSE)
     models = comp["models"]
@@ -115,7 +140,8 @@ def generate_presentation_figures_minimal(slides_dir: str | Path) -> list[Path]:
     plt.close(fig)
     outs.append(p)
 
-    # FIG3: best-model coefficients
+    # FIG3: best-model coefficients (also saved under the reference's
+    # FIG_BEST_MODEL_COEFFS.png name for listing parity)
     fig, ax = plt.subplots(figsize=(7, 4.5))
     coeffs = np.asarray(best["coeffs"], dtype=float)
     ax.bar(best["terms"], coeffs, color="#2aa84a", edgecolor="black")
@@ -123,10 +149,11 @@ def generate_presentation_figures_minimal(slides_dir: str | Path) -> list[Path]:
     ax.set_title(f"{best['name']}\n{best['equation']}")
     ax.tick_params(axis="x", rotation=30)
     plt.tight_layout()
-    p = slides_dir / "FIG3_BEST_MODEL.png"
-    plt.savefig(p, dpi=150, bbox_inches="tight")
+    for name in ("FIG3_BEST_MODEL.png", "FIG_BEST_MODEL_COEFFS.png"):
+        p = slides_dir / name
+        plt.savefig(p, dpi=150, bbox_inches="tight")
+        outs.append(p)
     plt.close(fig)
-    outs.append(p)
 
     outs.append(model_comparison_figure(slides_dir))
     return outs
@@ -153,9 +180,30 @@ def create_simple_slide3(slides_dir: str | Path) -> Path:
     for i, (k, v) in enumerate(rows):
         ax.text(0.3, 0.52 - 0.06 * i, k, ha="right", fontsize=12, fontweight="bold")
         ax.text(0.33, 0.52 - 0.06 * i, str(v), ha="left", fontsize=12)
+    # reference writes a "simple" and a "minimal" variant
+    # (create_simple_slide3.py:157,176); SLIDE3_RESULTS.png stays for the
+    # round-2 contract
     out = slides_dir / "SLIDE3_RESULTS.png"
-    plt.savefig(out, dpi=150, bbox_inches="tight")
+    for name in ("SLIDE3_RESULTS.png", "SLIDE3_SIMPLE_PDE_Results.png"):
+        plt.savefig(slides_dir / name, dpi=150, bbox_inches="tight")
     plt.close(fig)
+
+    fig2, ax2 = plt.subplots(figsize=(12, 6.5))
+    ax2.axis("off")
+    ax2.text(0.5, 0.70, "Discovered PDE (best model)", ha="center", fontsize=24,
+             fontweight="bold", transform=ax2.transAxes)
+    ax2.text(0.5, 0.48, best["equation"], ha="center", fontsize=16,
+             family="monospace", transform=ax2.transAxes)
+    sp = (best.get("spatial_holdout") or {}).get("test") or {}
+    sp_tb = (best.get("spatial_holdout_top_bottom") or {}).get("test") or {}
+    ax2.text(
+        0.5, 0.18,
+        f"time R²={best['r2']:.3f}  |  space R² LR/TB="
+        f"{sp.get('r2', float('nan')):.3f}/{sp_tb.get('r2', float('nan')):.3f}",
+        ha="center", fontsize=13, color="#333333", transform=ax2.transAxes,
+    )
+    plt.savefig(slides_dir / "SLIDE3_MINIMAL_PDE_Results.png", dpi=150, bbox_inches="tight")
+    plt.close(fig2)
     return out
 
 
@@ -184,8 +232,11 @@ def create_method_slide(slides_dir: str | Path) -> Path:
     ax.text(0.5, 0.15, f"Selected: {best['name']}   |   {best['equation']}", ha="center",
             fontsize=11, family="monospace")
     ax.set_title("PDE discovery methodology", fontsize=16, fontweight="bold")
+    # also saved under the reference's SLIDE_METHOD_PIPELINE.png name
+    # (create_method_slide.py)
     out = slides_dir / "SLIDE_METHOD.png"
-    plt.savefig(out, dpi=150, bbox_inches="tight")
+    for name in ("SLIDE_METHOD.png", "SLIDE_METHOD_PIPELINE.png"):
+        plt.savefig(slides_dir / name, dpi=150, bbox_inches="tight")
     plt.close(fig)
     return out
 

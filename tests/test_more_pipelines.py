@@ -198,11 +198,15 @@ class TestPatchSindy:
         )
         r_seq = run(PatchSindyConfig(**common, flow_batch=False))
         r_bat = run(PatchSindyConfig(**common, flow_batch=True))
+        # flows are COMPUTED in f32 (cv2-faithful, see farneback._register_step);
+        # XLA reassociates f32 reductions differently for batched vs single
+        # shapes, so agreement is to f32 accumulation noise (~1e-7 abs
+        # on the warped frames), not bitwise
         np.testing.assert_allclose(
-            r_bat["patch_coeffs"], r_seq["patch_coeffs"], rtol=1e-9, atol=1e-12
+            r_bat["patch_coeffs"], r_seq["patch_coeffs"], rtol=1e-4, atol=1e-6
         )
-        np.testing.assert_allclose(r_bat["coeffs"], r_seq["coeffs"], rtol=1e-9, atol=1e-12)
-        assert abs(r_bat["avg_quality"] - r_seq["avg_quality"]) < 1e-9
+        np.testing.assert_allclose(r_bat["coeffs"], r_seq["coeffs"], rtol=1e-4, atol=1e-6)
+        assert abs(r_bat["avg_quality"] - r_seq["avg_quality"]) < 1e-5
 
     def test_frame_scope_optical_flow(self, tiff_dir, tmp_path):
         """flow_scope='frame': one whole-frame registration instead of
@@ -242,6 +246,15 @@ class TestRunAllAndFigures:
         assert any(a.endswith("FIG1_MODEL_COMPARISON.png") for a in arts)
         assert any(a.endswith("SLIDE3_RESULTS.png") for a in arts)
         assert any(a.endswith("SLIDE_METHOD.png") for a in arts)
+        # the reference's exact fast-deck asset names (run_all PNG-listing
+        # superset: generate_presentation_figures_minimal.py:86,152,
+        # create_simple_slide3.py:157,176, create_method_slide.py)
+        for ref_name in (
+            "FIG_DATA_FRAMES.png", "FIG_BEST_MODEL_COEFFS.png",
+            "SLIDE3_SIMPLE_PDE_Results.png", "SLIDE3_MINIMAL_PDE_Results.png",
+            "SLIDE_METHOD_PIPELINE.png",
+        ):
+            assert any(a.endswith(ref_name) for a in arts), ref_name
 
     def test_figures_error_without_contract(self, tmp_path):
         from pdx.report.figures import create_method_slide
