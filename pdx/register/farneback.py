@@ -399,16 +399,18 @@ def _smooth_warp(mov, fx, fy, sign, ksize: int, sigma: float):
     return warp_flow(mov, sign * fs[0], sign * fs[1], border="reflect")
 
 
-def farneback_flow_pairs(U: Array, **flow_kwargs) -> tuple[Array, Array]:
+def farneback_flow_pairs(U: Array, *, pair_batch: bool = True, **flow_kwargs) -> tuple[Array, Array]:
     """Flow for every consecutive frame pair (transport pipeline,
     transport_pde_discovery.py:46-83).
 
-    Pairs are independent, but a vmapped pyramid is ~400x slower than
-    sequentially dispatched single-example programs on TPU (batched gathers
-    lower badly — see farneback_register_sequence); the per-pair jitted calls
-    pipeline through the async dispatch queue instead. Frame selection is a
-    dynamic index inside the jitted step (2 eager slices per pair would cost
-    ~100 extra dispatches on the tunnel)."""
+    Pairs are independent: the default runs ALL of them as ONE
+    flat-gather-batched pyramid program (``batched=True`` — the vmap-style
+    gather with batching dimensions that made the original vmapped pyramid
+    ~400x slower on TPU is replaced by a single 1-D take, see
+    ops/interp.py::_gather2d_flat_batch). ``pair_batch=False`` keeps the
+    legacy per-pair jitted dispatch chain for A/B timing."""
+    if pair_batch:
+        return _pair_flows_batched(U, flow_static=tuple(sorted(flow_kwargs.items())))
     flow_static = tuple(sorted(flow_kwargs.items()))
     outs = [
         _pair_flow(U, i, flow_static=flow_static) for i in range(U.shape[0] - 1)
@@ -416,6 +418,11 @@ def farneback_flow_pairs(U: Array, **flow_kwargs) -> tuple[Array, Array]:
     fx = stack_frames(*[o[0] for o in outs])
     fy = stack_frames(*[o[1] for o in outs])
     return fx, fy
+
+
+@partial(jax.jit, static_argnames=("flow_static",))
+def _pair_flows_batched(U, *, flow_static):
+    return farneback_flow(U[:-1], U[1:], batched=True, **dict(flow_static))
 
 
 @partial(jax.jit, static_argnames=("flow_static",))

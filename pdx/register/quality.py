@@ -24,25 +24,18 @@ def mean_flow_magnitude(U: Array, **flow_kwargs) -> Array:
     kwargs = dict(pyr_scale=0.5, levels=3, winsize=15, iterations=3, poly_n=5, poly_sigma=1.2, gaussian_win=False)
     kwargs.update(flow_kwargs)
     flow_static = tuple(sorted(kwargs.items()))
-
-    # sequential jitted dispatch (vmapped pyramid gathers are pathologically
-    # slow on TPU — see farneback_register_sequence); pair selection is a
-    # dynamic index inside the module-level jitted step, and the final mean
-    # is one compiled reduction (a per-call jit closure retraced every call)
-    from pdx.register.farneback import stack_frames
-
-    mags = [_pair_mag(U, i, flow_static=flow_static) for i in range(U.shape[0] - 1)]
-    return jnp.mean(stack_frames(*mags))
+    # ONE flat-gather-batched pyramid program for every consecutive pair
+    # (ops/interp.py::_gather2d_flat_batch replaces the vmap-style batched
+    # gather that lowered pathologically on TPU)
+    return _all_pair_mag(U, flow_static=flow_static)
 
 
 from functools import partial as _partial
 
 
 @_partial(jax.jit, static_argnames=("flow_static",))
-def _pair_mag(U, i, *, flow_static):
-    a = jax.lax.dynamic_index_in_dim(U, i, 0, keepdims=False)
-    b = jax.lax.dynamic_index_in_dim(U, i + 1, 0, keepdims=False)
-    fx, fy = farneback_flow(a, b, **dict(flow_static))
+def _all_pair_mag(U, *, flow_static):
+    fx, fy = farneback_flow(U[:-1], U[1:], batched=True, **dict(flow_static))
     return jnp.mean(jnp.sqrt(fx**2 + fy**2))
 
 

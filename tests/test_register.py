@@ -208,6 +208,40 @@ class TestQuality:
         assert float(res["improvement_pct"]) > 20.0
 
 
+class TestBatchedPairFlows:
+    def test_pair_batch_matches_sequential(self):
+        """farneback_flow_pairs pair_batch=True (one flat-gather program for
+        all consecutive pairs) == the legacy per-pair dispatch chain."""
+        from pdx.register.farneback import farneback_flow_pairs
+
+        base = smooth_field(n=80, sigma=5, seed=3)
+        rng = np.random.default_rng(4)
+        U = np.stack([ndshift(base, rng.uniform(-1.0, 1.0, 2), mode="reflect") for _ in range(5)])
+        U = jnp.asarray(U)
+        kw = dict(levels=3, winsize=15, iterations=4, poly_n=5, poly_sigma=1.2, gaussian_win=False)
+        fb_x, fb_y = farneback_flow_pairs(U, pair_batch=True, **kw)
+        fs_x, fs_y = farneback_flow_pairs(U, pair_batch=False, **kw)
+        np.testing.assert_allclose(np.asarray(fb_x), np.asarray(fs_x), rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(fb_y), np.asarray(fs_y), rtol=1e-8, atol=1e-10)
+
+    def test_batched_flow_matches_single(self):
+        """farneback_flow(batched=True) over a batch == per-pair single calls
+        (the flat-gather formulation changes dispatch, not math)."""
+        from pdx.register.farneback import farneback_flow
+
+        base = smooth_field(n=64, sigma=5, seed=7)
+        rng = np.random.default_rng(8)
+        A = np.stack([ndshift(base, rng.uniform(-1, 1, 2), mode="reflect") for _ in range(3)])
+        B = np.stack([ndshift(base, rng.uniform(-1, 1, 2), mode="reflect") for _ in range(3)])
+        A, B = jnp.asarray(A), jnp.asarray(B)
+        kw = dict(levels=2, winsize=11, iterations=3, poly_n=5, poly_sigma=1.2, gaussian_win=True)
+        bx, by = farneback_flow(A, B, batched=True, **kw)
+        for i in range(3):
+            sx, sy = farneback_flow(A[i], B[i], **kw)
+            np.testing.assert_allclose(np.asarray(bx[i]), np.asarray(sx), rtol=1e-8, atol=1e-10)
+            np.testing.assert_allclose(np.asarray(by[i]), np.asarray(sy), rtol=1e-8, atol=1e-10)
+
+
 class TestTVL1:
     def test_translation(self):
         from pdx.register import tvl1_flow
