@@ -60,6 +60,24 @@ class TestImageIO:
         with pytest.raises(FileNotFoundError):
             load_images(tmp_path / "nope")
 
+    def test_stack_cache_roundtrip_and_invalidation(self, tiff_dir, tmp_path, monkeypatch):
+        """Cache hit returns the decoded stack bit-for-bit; touching a frame
+        invalidates the entry (key covers per-file size+mtime_ns)."""
+        monkeypatch.setenv("PDX_STACK_CACHE_DIR", str(tmp_path / "stacks"))
+        cold = load_images(tiff_dir, max_images=6, cache=True)
+        assert len(list((tmp_path / "stacks").glob("*.npy"))) == 1
+        warm = load_images(tiff_dir, max_images=6, cache=True)
+        np.testing.assert_array_equal(cold, warm)
+        ref = load_images(tiff_dir, max_images=6, cache=False)
+        np.testing.assert_array_equal(warm, ref)
+        # invalidation: bump one frame's mtime -> new key, second entry
+        import os as _os
+
+        f = sorted(tiff_dir.glob("*.tif"))[0]
+        _os.utime(f, ns=(f.stat().st_atime_ns, f.stat().st_mtime_ns + 10_000_000))
+        load_images(tiff_dir, max_images=6, cache=True)
+        assert len(list((tmp_path / "stacks").glob("*.npy"))) == 2
+
 
 class TestAnalyzePipeline:
     @pytest.fixture(scope="class")
