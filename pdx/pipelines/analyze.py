@@ -118,6 +118,15 @@ class AnalyzeConfig:
     # reference-compat toggles
     reference_compat_warp: bool = False  # reproduce the x - flow warp bug
     registration: bool = True
+    # "compose": ALL pairwise flows in one batched pyramid + cumulative
+    # composition + one batched warp (~3 device programs; measurably BETTER
+    # residual-motion removal than the chain on drifting jitter — it aligns
+    # to frame 0 directly instead of accumulating incremental warps).
+    # "chain": the reference's sequential warp-to-previous structure
+    # (analyze_results.py:229-242) — T-1 chained pyramid dispatches; forced
+    # when reference_compat_warp=True (composition is meaningless under the
+    # x - flow warp bug). "to_first": direct anchored estimation vs frame 0.
+    register_mode: str = "compose"  # compose | chain | to_first
     # extension: add the 25-term 4th-order library (notebook 02) as Model 7
     include_fourth_order: bool = False
     dtype: str = "float64"
@@ -156,9 +165,17 @@ def preprocess(cfg: AnalyzeConfig, U_raw: np.ndarray, timer=None) -> jnp.ndarray
 
     if cfg.registration:
         with st("registration"):
-            U = sync(farneback_register_sequence(
-                U, warp_sign=-1.0 if cfg.reference_compat_warp else 1.0
-            ))
+            mode = "chain" if cfg.reference_compat_warp else cfg.register_mode
+            if mode == "chain":
+                U = sync(farneback_register_sequence(
+                    U, warp_sign=-1.0 if cfg.reference_compat_warp else 1.0
+                ))
+            else:
+                from pdx.register.farneback import farneback_register_sequence_compose
+
+                U = sync(farneback_register_sequence_compose(
+                    U, to_first=(mode == "to_first")
+                ))
 
     with st("smooth_crop"):
         U = gaussian_filter_reflect(U, cfg.denoise_sigma2)
@@ -766,6 +783,11 @@ def cmd_analyze(argv: list[str]) -> int:
     parser.add_argument("--robust", action="store_true")
     parser.add_argument("--stabilize", action="store_true")
     parser.add_argument("--no-registration", action="store_true")
+    parser.add_argument("--register-mode", choices=["compose", "chain", "to_first"],
+                        default="compose",
+                        help="compose: batched pairwise flows + composition "
+                        "(one program; default); chain: reference sequential "
+                        "warp-to-previous; to_first: anchored to frame 0")
     parser.add_argument("--reference-compat-warp", action="store_true")
     parser.add_argument("--include-fourth-order", action="store_true",
                         help="add the 25-term 4th-order library (notebook 02) as Model 7")
@@ -782,6 +804,7 @@ def cmd_analyze(argv: list[str]) -> int:
         robust_regression=args.robust,
         stabilize_translation=args.stabilize,
         registration=not args.no_registration,
+        register_mode=args.register_mode,
         reference_compat_warp=args.reference_compat_warp,
         include_fourth_order=args.include_fourth_order,
         dtype=args.dtype,

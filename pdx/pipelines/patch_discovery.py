@@ -48,6 +48,7 @@ class PatchDiscoveryConfig:
     max_images: int = 51
     seed: int = 0
     registration: bool = True
+    register_mode: str = "compose"  # compose | chain | to_first (see analyze)
     rt: int = 2
     rs: int = 3
     deg: int = 3
@@ -140,7 +141,13 @@ def run(cfg: PatchDiscoveryConfig, U_raw: np.ndarray | None = None) -> dict[str,
         sigma=cfg.denoise_sigma1, eps=1e-12, dtype_name=jnp.dtype(dtype).name,
     )
     if cfg.registration:
-        U = farneback_register_sequence(U, warp_sign=-1.0 if cfg.reference_compat_warp else 1.0)
+        mode = "chain" if cfg.reference_compat_warp else cfg.register_mode
+        if mode == "chain":
+            U = farneback_register_sequence(U, warp_sign=-1.0 if cfg.reference_compat_warp else 1.0)
+        else:
+            from pdx.register.farneback import farneback_register_sequence_compose
+
+            U = farneback_register_sequence_compose(U, to_first=(mode == "to_first"))
     U = gaussian_filter_reflect(U, cfg.denoise_sigma2)
     s, sub = cfg.skip, cfg.subsample
     U = U[:, s:-s:sub, s:-s:sub]
@@ -344,6 +351,8 @@ def cmd_patch_discover(argv: list[str]) -> int:
     parser.add_argument("--max-images", type=int, default=51)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--no-registration", action="store_true")
+    parser.add_argument("--register-mode", choices=["compose", "chain", "to_first"],
+                        default="compose")
     parser.add_argument("--rt", type=int, default=2)
     parser.add_argument("--rs", type=int, default=3)
     parser.add_argument("--deg", type=int, default=3)
@@ -356,7 +365,8 @@ def cmd_patch_discover(argv: list[str]) -> int:
     args = parser.parse_args(argv)
     cfg = PatchDiscoveryConfig(
         data_dir=args.data_dir, output_dir=args.output_dir, max_images=args.max_images,
-        seed=args.seed, registration=not args.no_registration, rt=args.rt, rs=args.rs,
+        seed=args.seed, registration=not args.no_registration,
+        register_mode=args.register_mode, rt=args.rt, rs=args.rs,
         deg=args.deg, patch=args.patch, overlap=args.overlap,
         samples_per_patch=args.samples_per_patch, model=args.model,
         skip=args.skip, subsample=args.subsample,

@@ -63,6 +63,12 @@ class PatchSindyConfig:
     # single-patch flows; identical math per patch (flat-gather formulation,
     # see ops/interp.py::_gather2d_flat_batch)
     flow_batch: bool = True
+    # batch the TIME axis too: all P*(T-1) pairwise flows as ONE flat-gather
+    # pyramid program, per-patch cumulative composition to to-first flows
+    # (farneback.compose_flow_chain), one batched warp — ~3 device programs
+    # total instead of T-1 chained dispatches. Falls back to the per-step
+    # chain when False.
+    flow_compose: bool = True
     max_patches: int | None = None
     var_suppress_factor: float = 2.0
     dtype: str = "float64"
@@ -234,6 +240,48 @@ def _flow_warp_step_all_patches(seqs, prev, t):
 
 
 @jax.jit
+def _flow_register_compose_all(seqs):
+    """Per-patch registration with BOTH the patch and time axes batched.
+
+    All P*(T-1) consecutive-pair flows run as ONE flat-gather pyramid
+    program, per-patch composition turns them into to-first flows
+    (farneback.compose_flow_chain), and one batched warp registers every
+    frame — ~3 device programs total vs the T-1 chained dispatches of
+    _flow_warp_step_all_patches (which itself replaced the reference's
+    P*(T-1) chained cv2 calls, patch_based_sindy.py:171-221).
+
+    Quality per patch: mean_t 1/(1 + mean|flow_t|) over the raw pairwise
+    flows (the chain uses the warped-prev incremental flow — same scale,
+    same meaning: residual inter-frame motion).
+    """
+    from pdx.register.farneback import farneback_flow, compose_flow_chain
+    from pdx.ops.interp import warp_flow_batch
+
+    P, T, ph, pw = seqs.shape
+    f32 = jnp.float32 if seqs.dtype == jnp.float64 else seqs.dtype
+    Sf = seqs.astype(f32)
+    prev = Sf[:, :-1].reshape(P * (T - 1), ph, pw)
+    cur = Sf[:, 1:].reshape(P * (T - 1), ph, pw)
+    fx, fy = farneback_flow(
+        prev, cur, levels=3, winsize=15, iterations=5,
+        poly_n=7, poly_sigma=1.5, gaussian_win=False, batched=True,
+    )
+    mag = jnp.sqrt(fx**2 + fy**2).reshape(P, T - 1, ph, pw)
+    q = jnp.mean(
+        1.0 / (jnp.mean(mag, axis=(-2, -1)) + 1.0), axis=1
+    ).astype(seqs.dtype)
+    Fx, Fy = compose_flow_chain(
+        fx.reshape(P, T - 1, ph, pw), fy.reshape(P, T - 1, ph, pw), batched=True
+    )
+    warped = warp_flow_batch(
+        seqs[:, 1:].reshape(P * (T - 1), ph, pw),
+        Fx.reshape(P * (T - 1), ph, pw).astype(seqs.dtype),
+        Fy.reshape(P * (T - 1), ph, pw).astype(seqs.dtype),
+    ).reshape(P, T - 1, ph, pw)
+    return jnp.concatenate([seqs[:, :1], warped], axis=1), q
+
+
+@jax.jit
 def _assemble_time(first, frames, quals):
     """(P, ps, ps) first frame + (T-1)-lists -> registered (P, T, ps, ps)
     sequences and per-patch mean qualities, as ONE compiled program."""
@@ -308,6 +356,14 @@ def run(cfg: PatchSindyConfig, U_raw: np.ndarray | None = None) -> dict[str, Any
         pairs = [_ecc_one(seqs, i) for i in range(P)]
         seqs = stack_frames(*[p[0] for p in pairs])
         qualities = stack_frames(*[p[1] for p in pairs])
+    elif (
+        cfg.registration_method == "optical_flow"
+        and cfg.flow_batch
+        and cfg.flow_compose
+    ):
+        # patch AND time axes batched: ~3 device programs for the whole
+        # registration stage (see _flow_register_compose_all)
+        seqs, qualities = _flow_register_compose_all(seqs)
     elif cfg.registration_method == "optical_flow" and cfg.flow_batch:
         # per-patch warp-to-previous Farnebäck, quality = 1/(1 + mean |flow|)
         # (patch_based_sindy.py:198-221). The patch axis is batched: each
@@ -418,13 +474,16 @@ def cmd_patch_sindy(argv: list[str]) -> int:
     parser.add_argument("--flow-scope", choices=["patch", "frame"], default="patch",
                         help="optical_flow granularity: per-patch (reference parity) or whole-frame")
     parser.add_argument("--max-patches", type=int, default=None)
+    parser.add_argument("--no-flow-compose", action="store_true",
+                        help="use the per-time-step chained dispatch structure "
+                        "instead of the one-shot compose path (A/B timing)")
     args = parser.parse_args(argv)
     out = run(
         PatchSindyConfig(
             data_dir=args.data_dir, output_dir=args.output_dir, max_images=args.max_images,
             patch_size=args.patch_size, overlap=args.overlap,
             registration_method=args.registration, max_patches=args.max_patches,
-            flow_scope=args.flow_scope,
+            flow_scope=args.flow_scope, flow_compose=not args.no_flow_compose,
         )
     )
     print(f"Valid patches: {out['n_patches']}  avg quality: {out['avg_quality']:.4f}")

@@ -16,6 +16,8 @@ from pdx.register.farneback import (
     farneback_flow,
     farneback_register_sequence,
     farneback_flow_pairs,
+    farneback_register_sequence_compose,
+    compose_flow_chain,
 )
 from pdx.register.dis import dis_flow
 from pdx.register.tvl1 import tvl1_flow
@@ -30,6 +32,8 @@ __all__ = [
     "farneback_flow",
     "farneback_register_sequence",
     "farneback_flow_pairs",
+    "farneback_register_sequence_compose",
+    "compose_flow_chain",
     "dis_flow",
     "tvl1_flow",
     "ecc_align",

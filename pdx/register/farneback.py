@@ -430,3 +430,107 @@ def _pair_flow(U, i, *, flow_static):
     a = jax.lax.dynamic_index_in_dim(U, i, 0, keepdims=False)
     b = jax.lax.dynamic_index_in_dim(U, i + 1, 0, keepdims=False)
     return farneback_flow(a, b, **dict(flow_static))
+
+
+@partial(jax.jit, static_argnames=("batched",))
+def compose_flow_chain(fx: Array, fy: Array, *, batched: bool = False) -> tuple[Array, Array]:
+    """Cumulatively compose consecutive backward flows into to-first flows.
+
+    ``fx``/``fy``: (T-1, H, W) pairwise flows (``batched=True``: (P, T-1, H, W)
+    independent chains), where flow t maps frame-t points to frame t+1:
+    U[t](x) ~ U[t+1](x + f_t(x)). Returns flows of the same shape with
+    U[0](x) ~ U[t+1](x + F_t(x)), via the backward-map composition
+
+        F_t = F_{t-1} + f_t(id + F_{t-1}),   F_0 = f_0.
+
+    The per-step work is one bilinear gather of a 2-channel field — a
+    lax.scan of cheap ops, NOT a scan over full pyramid programs. Combined
+    with the batched pairwise pyramid (``_pair_flows_batched``) this turns a
+    chained T-1-dispatch registration into ~3 device programs.
+    """
+    ta = 1 if batched else 0
+    fxs = jnp.moveaxis(fx, ta, 0)  # (T-1, [P,] H, W)
+    fys = jnp.moveaxis(fy, ta, 0)
+    H, W = fx.shape[-2], fx.shape[-1]
+    dtype = fx.dtype
+    r = jnp.arange(H, dtype=dtype)[:, None]
+    c = jnp.arange(W, dtype=dtype)[None, :]
+
+    def step(F, f):
+        Fx, Fy = F
+        fxi, fyi = f
+        if batched:
+            s = bilinear_sample_reflect_batch(
+                jnp.stack([fxi, fyi], axis=1), r + Fx, c + Fy
+            )  # (P, 2, H, W)
+            Fx2, Fy2 = Fx + s[:, 0], Fy + s[:, 1]
+        else:
+            s = bilinear_sample_reflect(jnp.stack([fxi, fyi]), r + Fx, c + Fy)
+            Fx2, Fy2 = Fx + s[0], Fy + s[1]
+        return (Fx2, Fy2), (Fx2, Fy2)
+
+    z = jnp.zeros(fxs.shape[1:], dtype)
+    _, (Fx_all, Fy_all) = jax.lax.scan(step, (z, z), (fxs, fys))
+    return jnp.moveaxis(Fx_all, 0, ta), jnp.moveaxis(Fy_all, 0, ta)
+
+
+def farneback_register_sequence_compose(
+    U: Array,
+    *,
+    flow_smooth_ksize: int = 11,
+    flow_smooth_sigma: float = 2.0,
+    to_first: bool = False,
+    **flow_kwargs,
+) -> Array:
+    """Batched registration to the first frame: pairwise-flow + compose.
+
+    TPU-structural replacement for :func:`farneback_register_sequence`'s
+    sequential warp-to-previous chain (analyze_results.py:229-242). The
+    chain's data dependency (each flow reads the previous *registered*
+    frame) forces T-1 chained pyramid dispatches — ~187 ms each on a v5e
+    through the tunnel, ~9.4 s for 51 frames, the dominant stage of the
+    analyze pipeline. This mode removes the dependency:
+
+      1. ALL T-1 consecutive-pair flows in ONE flat-gather-batched pyramid
+         program (same math as ``_pair_flows_batched``),
+      2. 11x11/sigma-2 smoothing of every pairwise flow (one batched blur),
+      3. cumulative composition into to-first flows (:func:`compose_flow_chain`
+         — a scan of cheap gathers), and
+      4. ONE batched warp of frames 1..T-1.
+
+    ``to_first=True`` skips steps 1/3's chaining entirely and estimates each
+    frame's flow directly against frame 0 (the reference's own
+    ``stabilize_translation_sequence`` has to_first precedent,
+    ks2d_stridge_benchmark.py:940-973) — cheaper still, but only appropriate
+    when content change across the whole sequence stays within the pyramid's
+    capture range; the compose default matches the chain's locality.
+
+    Only the FIXED warp direction is supported (warp_sign=+1): composition
+    of backward maps is meaningless under the reference's ``x - flow`` bug —
+    use the sequential chain with ``warp_sign=-1`` for parity studies.
+    """
+    flow_kwargs.setdefault("refine", 1)
+    return _register_compose_impl(
+        U,
+        ksize=flow_smooth_ksize,
+        sigma=flow_smooth_sigma,
+        flow_static=tuple(sorted(flow_kwargs.items())),
+        to_first=to_first,
+    )
+
+
+@partial(jax.jit, static_argnames=("ksize", "sigma", "flow_static", "to_first"))
+def _register_compose_impl(U, *, ksize: int, sigma: float, flow_static, to_first: bool):
+    f32 = jnp.float32 if U.dtype == jnp.float64 else U.dtype
+    Uf = U.astype(f32)
+    if to_first:
+        ref = jnp.broadcast_to(Uf[0], Uf[1:].shape)
+        fx, fy = farneback_flow(ref, Uf[1:], batched=True, **dict(flow_static))
+    else:
+        fx, fy = farneback_flow(Uf[:-1], Uf[1:], batched=True, **dict(flow_static))
+    sm = _blur(jnp.stack([fx, fy], axis=1), ksize, sigma, True)  # (T-1, 2, H, W)
+    fx, fy = sm[:, 0], sm[:, 1]
+    if not to_first:
+        fx, fy = compose_flow_chain(fx, fy)
+    warped = warp_flow_batch(U[1:], fx.astype(U.dtype), fy.astype(U.dtype))
+    return jnp.concatenate([U[:1], warped], axis=0)

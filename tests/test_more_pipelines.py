@@ -195,6 +195,7 @@ class TestPatchSindy:
             patch_size=48, overlap=0, skip_boundary=3, subsample=2,
             min_patches=2, registration_method="optical_flow",
             flow_scope="patch", max_patches=3, write_artifacts=False,
+            flow_compose=False,  # pin the per-time-step chain for the A/B
         )
         r_seq = run(PatchSindyConfig(**common, flow_batch=False))
         r_bat = run(PatchSindyConfig(**common, flow_batch=True))
@@ -207,6 +208,28 @@ class TestPatchSindy:
         )
         np.testing.assert_allclose(r_bat["coeffs"], r_seq["coeffs"], rtol=1e-4, atol=1e-6)
         assert abs(r_bat["avg_quality"] - r_seq["avg_quality"]) < 1e-5
+
+    def test_flow_compose_close_to_chain(self, tiff_dir, tmp_path):
+        """The one-shot compose path (patch AND time axes batched, ~3 device
+        programs) registers to frame 0 via composed pairwise flows instead of
+        warping incrementally — structurally different but the discovered
+        coefficients must stay close to the chain's on quasi-static data."""
+        from pdx.pipelines.patch_sindy import PatchSindyConfig, run
+
+        common = dict(
+            data_dir=str(tiff_dir), output_dir=str(tmp_path), max_images=5,
+            patch_size=48, overlap=0, skip_boundary=3, subsample=2,
+            min_patches=2, registration_method="optical_flow",
+            flow_scope="patch", max_patches=3, write_artifacts=False,
+        )
+        r_chain = run(PatchSindyConfig(**common, flow_compose=False))
+        r_comp = run(PatchSindyConfig(**common, flow_compose=True))
+        assert np.all(np.isfinite(r_comp["coeffs"]))
+        assert 0.0 < r_comp["avg_quality"] <= 1.0
+        # same dominant structure: aggregated coefficient vectors correlate
+        a, b = np.asarray(r_comp["coeffs"]), np.asarray(r_chain["coeffs"])
+        denom = np.linalg.norm(a) * np.linalg.norm(b)
+        assert denom > 0 and float(a @ b) / denom > 0.9, (a, b)
 
     def test_frame_scope_optical_flow(self, tiff_dir, tmp_path):
         """flow_scope='frame': one whole-frame registration instead of

@@ -117,6 +117,49 @@ class TestFarneback:
         # Farnebäck's ~0.8x magnitude bias caps single-pass improvement
         assert resid_after < 0.75 * resid_before
 
+    def test_compose_flow_chain_sums_constant_shifts(self):
+        """Backward-map composition of constant translations is their
+        cumulative sum (f_t(id + F) = f_t for constant fields)."""
+        from pdx.register.farneback import compose_flow_chain
+
+        steps = np.array([[0.5, -0.25], [1.0, 0.75], [-0.5, 0.5]])
+        fx = jnp.asarray(np.broadcast_to(steps[:, 0, None, None], (3, 16, 16)).copy())
+        fy = jnp.asarray(np.broadcast_to(steps[:, 1, None, None], (3, 16, 16)).copy())
+        Fx, Fy = compose_flow_chain(fx, fy)
+        cum = np.cumsum(steps, axis=0)
+        m = slice(4, -4)  # reflect-border folding touches the rim only
+        for t in range(3):
+            np.testing.assert_allclose(np.asarray(Fx)[t][m, m], cum[t, 0], atol=1e-6)
+            np.testing.assert_allclose(np.asarray(Fy)[t][m, m], cum[t, 1], atol=1e-6)
+        # batched variant agrees with per-chain application
+        Fxb, Fyb = compose_flow_chain(
+            jnp.stack([fx, fx * 0.5]), jnp.stack([fy, fy * 0.5]), batched=True
+        )
+        np.testing.assert_allclose(np.asarray(Fxb)[0], np.asarray(Fx), atol=1e-6)
+
+    def test_compose_mode_matches_or_beats_chain_on_drift(self):
+        """VERDICT r3 task 2 acceptance: the batched compose registration must
+        keep residual-motion improvement within a few % of the sequential
+        chain on synthetic jitter. On drifting jitter it is measurably BETTER
+        (direct alignment to frame 0 vs accumulated incremental warps)."""
+        from pdx.register.farneback import farneback_register_sequence_compose
+
+        base = smooth_field(n=96, sigma=6, seed=7)
+        rng = np.random.default_rng(1)
+        U, s = [base], np.zeros(2)
+        for _ in range(6):
+            s = s + rng.uniform(-1.0, 1.0, 2)
+            U.append(ndshift(base, s, mode="reflect"))
+        U = jnp.asarray(np.stack(U))
+        resid = lambda out: np.sqrt(np.mean((np.asarray(out[1:]) - base[None]) ** 2))
+        before = resid(U)
+        chain = resid(farneback_register_sequence(U))
+        comp = resid(farneback_register_sequence_compose(U))
+        to_first = resid(farneback_register_sequence_compose(U, to_first=True))
+        assert comp <= chain * 1.05, (comp, chain)
+        assert to_first <= chain * 1.05, (to_first, chain)
+        assert comp < 0.8 * before
+
     def test_reference_compat_sign_worsens(self):
         """warp_sign=-1 reproduces the reference's x - flow map, which
         measurably increases residuals (the documented reference bug)."""
