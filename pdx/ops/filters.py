@@ -126,13 +126,33 @@ def median_filter_3x3(f: Array) -> Array:
     Parity: scipy.ndimage.median_filter(size=3) as used in
     ``comprehensive_benchmark.py:181-186``.
     """
-    pads = [(0, 0)] * (f.ndim - 2) + [(1, 1), (1, 1)]
+    return median_filter_2d(f, 3)
+
+
+def median_filter_2d(f: Array, size: int = 3) -> Array:
+    """Odd-size k x k median filter with symmetric (scipy 'reflect') borders.
+
+    Parity: scipy.ndimage.median_filter(size=k) — the reference exposes the
+    ``size`` parameter (comprehensive_benchmark.py:179-183) though it only
+    ever calls size=3. Implementation: the k^2 shifted window views stacked
+    on a trailing axis and sorted — a rank filter as one fused sort over a
+    static-size axis, batched over every leading (time/patch) axis. Window
+    materialization is k^2 x the field size; fine for the k in {3,5,7}
+    denoising range this bank targets.
+    """
+    k = int(size)
+    if k < 1 or k % 2 == 0:
+        raise ValueError(f"median filter size must be odd and >= 1, got {size}")
+    if k == 1:
+        return f
+    n = k // 2
+    pads = [(0, 0)] * (f.ndim - 2) + [(n, n), (n, n)]
     p = jnp.pad(f, pads, mode="symmetric")
     stack = jnp.stack(
-        [p[..., i : i + f.shape[-2], j : j + f.shape[-1]] for i in range(3) for j in range(3)],
+        [p[..., i : i + f.shape[-2], j : j + f.shape[-1]] for i in range(k) for j in range(k)],
         axis=-1,
     )
-    return jnp.sort(stack, axis=-1)[..., 4]
+    return jnp.sort(stack, axis=-1)[..., (k * k) // 2]
 
 
 def tv_denoise(f: Array, weight: float = 0.1, n_iter: int = 50) -> Array:

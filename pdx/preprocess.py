@@ -52,9 +52,11 @@ def resize_denoise_normalize(
 
 @partial(jax.jit, static_argnames=("size",))
 def preprocess_median(U: Array, size: int = 3) -> Array:
-    if size != 3:
-        raise NotImplementedError("median filter currently supports size=3")
-    return median_filter_3x3(U)
+    """Odd-size median filter (comprehensive_benchmark.py:179-183 exposes
+    size=; only size=3 is ever called there)."""
+    from pdx.ops.filters import median_filter_2d
+
+    return median_filter_2d(U, size)
 
 
 @partial(jax.jit, static_argnames=("weight", "n_iter"))

@@ -239,3 +239,94 @@ class TestBatchedSolves:
                     r_off["results"][noise][m]["coef"],
                     rtol=1e-9, atol=1e-12, err_msg=f"{noise}/{m}",
                 )
+
+
+class TestSklearnValueParity:
+    """VERDICT r3 task 4: value-level (not ranking-level) parity of the M07/M08
+    estimator families against sklearn's HuberRegressor / RANSACRegressor
+    internals (reference: comprehensive_benchmark.py:390-405).
+
+    Goldens captured from sklearn 1.9.0 on this image (fixed-seed clean KS
+    dataset, ComprehensiveConfig(n_seconds=0.4), legacy np.random.seed(777)
+    subsample draw). On clean data every RANSAC trial converges to the same
+    LS fit, so the comparison is deterministic; Huber's concomitant-scale
+    solver and pdx's MAD-scaled IRLS agree to ~4e-7 relative here and to
+    ~1.4e-4 under 5% gross outliers (measured; see the outlier test).
+    """
+
+    # sklearn 1.9.0 coefficient vectors for [lap, biharm, gradsq]
+    GOLDEN_HUBER = np.array([-0.9999501504110231, -1.0913198694674318, -0.4960708801663352])
+    GOLDEN_RANSAC = np.array([-0.9999501747004048, -1.0913222557847317, -0.4960708943047411])
+
+    @pytest.fixture(scope="class")
+    def design(self):
+        import jax.numpy as jnp
+        from pdx.pipelines.comprehensive import (
+            ComprehensiveConfig, simulate_clean, _build_lib_tgt,
+        )
+
+        cfg = ComprehensiveConfig(n_seconds=0.4)
+        U = jnp.asarray(np.asarray(simulate_clean(cfg)))
+        lib, tgt = _build_lib_tgt(U, cfg.Lx / cfg.Nx, cfg.dt * cfg.save_every, True, 3)
+        lib, tgt = np.asarray(lib), np.asarray(tgt)
+        scales = np.std(lib, axis=0)
+        scales[scales < 1e-10] = 1.0
+        np.random.seed(777)
+        idx = np.random.choice(len(tgt), min(20000, len(tgt)), replace=False)
+        return (lib / scales)[idx], tgt[idx], scales
+
+    def test_huber_matches_sklearn_golden(self, design):
+        import jax.numpy as jnp
+        from pdx.solve.robust import irls_huber
+
+        Xs, ys, scales = design
+        Xsj, ysj = jnp.asarray(Xs), jnp.asarray(ys)
+        coef = np.asarray(
+            irls_huber(Xsj - Xsj.mean(0), ysj - ysj.mean(), alpha=1e-4, delta=1.35, max_iter=200)
+        ) / scales
+        rel = np.linalg.norm(coef - self.GOLDEN_HUBER) / np.linalg.norm(self.GOLDEN_HUBER)
+        assert rel < 1e-4, (coef, self.GOLDEN_HUBER, rel)
+
+    def test_ransac_matches_sklearn_golden(self, design):
+        from pdx.pipelines.comprehensive import _ransac_fit
+
+        Xs, ys, scales = design
+        coef = _ransac_fit(Xs, ys, np.random.default_rng(0)) / scales
+        rel = np.linalg.norm(coef - self.GOLDEN_RANSAC) / np.linalg.norm(self.GOLDEN_RANSAC)
+        assert rel < 1e-8, (coef, self.GOLDEN_RANSAC, rel)
+
+    def test_goldens_still_match_live_sklearn(self, design):
+        """Guards the committed constants against sklearn version drift in
+        the image; if this fails, re-capture the goldens."""
+        sklearn = pytest.importorskip("sklearn")
+        from sklearn.linear_model import HuberRegressor, RANSACRegressor, LinearRegression
+
+        Xs, ys, scales = design
+        hub = HuberRegressor(epsilon=1.35, max_iter=200)
+        hub.fit(Xs, ys)
+        np.testing.assert_allclose(hub.coef_ / scales, self.GOLDEN_HUBER, rtol=1e-9)
+        ran = RANSACRegressor(LinearRegression(), max_trials=100, random_state=0)
+        ran.fit(Xs, ys)
+        np.testing.assert_allclose(ran.estimator_.coef_ / scales, self.GOLDEN_RANSAC, rtol=1e-9)
+
+    def test_huber_matches_sklearn_under_gross_outliers(self):
+        """Estimator-level robustness parity: 5% +-10 outliers on a synthetic
+        regression — MAD-IRLS vs sklearn's concomitant-scale solver."""
+        import jax.numpy as jnp
+        from sklearn.linear_model import HuberRegressor
+        from pdx.solve.robust import irls_huber
+
+        rng = np.random.default_rng(5)
+        X = rng.normal(size=(3000, 5))
+        w = np.array([1.5, -2.0, 0.0, 0.7, 3.0])
+        y = X @ w + 0.01 * rng.normal(size=3000)
+        out_idx = rng.choice(3000, 150, replace=False)
+        y[out_idx] += rng.choice([-10, 10], size=150)
+        hub = HuberRegressor(epsilon=1.35, max_iter=200)
+        hub.fit(X, y)
+        coef = np.asarray(
+            irls_huber(jnp.asarray(X - X.mean(0)), jnp.asarray(y - y.mean()),
+                       alpha=1e-4, delta=1.35, max_iter=200)
+        )
+        rel = np.linalg.norm(coef - hub.coef_) / np.linalg.norm(hub.coef_)
+        assert rel < 1e-3, (coef, hub.coef_, rel)

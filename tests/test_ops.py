@@ -167,6 +167,24 @@ class TestFilters:
         got = median_filter_3x3(jnp.asarray(f))
         np.testing.assert_allclose(got, want, rtol=1e-12)
 
+    def test_median_filter_general_sizes_match_scipy(self):
+        from scipy.ndimage import median_filter
+        from pdx.ops.filters import median_filter_2d
+        from pdx.preprocess import preprocess_median
+
+        rng = np.random.default_rng(10)
+        f = rng.normal(size=(16, 19))
+        for size in (3, 5, 7):
+            want = median_filter(f, size=size)
+            got = median_filter_2d(jnp.asarray(f), size)
+            np.testing.assert_allclose(got, want, rtol=1e-12, err_msg=f"size={size}")
+        # batched leading axis through the preprocessor entry point
+        U = rng.normal(size=(4, 12, 13))
+        want = np.stack([median_filter(u, size=5) for u in U])
+        np.testing.assert_allclose(preprocess_median(jnp.asarray(U), size=5), want, rtol=1e-12)
+        with pytest.raises(ValueError):
+            median_filter_2d(jnp.asarray(f), 4)
+
     def test_savgol_matches_scipy(self):
         from scipy.signal import savgol_filter
 
