@@ -31,7 +31,10 @@ def _add_dataclass_args(parser: argparse.ArgumentParser, cls) -> None:
                 default=f.default,
             )
         else:
-            py_type = {"int": int, "float": float, "str": str}.get(str(f.type), str)
+            py_type = {
+                "int": int, "float": float, "str": str,
+                "int | None": int, "float | None": float,
+            }.get(str(f.type), str)
             parser.add_argument(name, type=py_type, default=f.default)
 
 

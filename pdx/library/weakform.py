@@ -92,7 +92,7 @@ def build_weakform_dataset(
     basis: str = "gaussian",
     n_phi: int = 64,
     sigma_px: float = 6.0,
-    grad_cutoff: float = 0.65,
+    grad_cutoff: float | None = None,
     motion_correct: bool = False,
     motion_est_sigma_px: float = 0.0,
     motion_smooth_window: int = 1,
@@ -151,13 +151,13 @@ def build_weakform_dataset(
         from pdx.ops.fd import gradients_periodic, laplacian_periodic
 
         # FD stencils have no spectral-cutoff concept: grad_cutoff cannot
-        # apply in fd mode. Reject a non-default setting loudly instead of
-        # silently ignoring it.
-        if float(grad_cutoff) != 0.65:
+        # apply in fd mode. None = "caller left the default"; any explicit
+        # value is rejected loudly instead of silently ignored.
+        if grad_cutoff is not None:
             raise ValueError(
                 "grad_cutoff only applies to operator='spectral'; "
                 "fd-mode gradients are plain central stencils (leave "
-                "grad_cutoff at its default with operator='fd')"
+                "grad_cutoff=None with operator='fd')"
             )
 
         def d_grad(f, cutoff=1.0):
@@ -210,7 +210,7 @@ def build_weakform_dataset(
 
     # nonlinear feature: <phi, |grad u|^2> — batched FFT (spectral) or one
     # stencil pass (fd) over the frame axis
-    ux, uy = d_grad(U[:-1], cutoff=float(grad_cutoff))
+    ux, uy = d_grad(U[:-1], cutoff=float(0.65 if grad_cutoff is None else grad_cutoff))
     gs = (ux**2 + uy**2).reshape(t_len - 1, -1)
     X_gsq = area * (gs @ phi_flat.T)
 

@@ -103,6 +103,13 @@ def _gather2d_flat_batch(f: Array, ix: Array, iy: Array) -> Array:
     a single plain 1-D gather, which lowers to the fast path on every
     backend.
     """
+    # shapes are static at trace time: refuse silently-wrapping int32 index
+    # arithmetic (B*C*H*W >= 2^31 would clip to wrong elements with no error)
+    if f.size >= 2**31:
+        raise ValueError(
+            f"flat-gather operand has {f.size} elements (>= 2^31): int32 "
+            "index arithmetic would overflow — split the batch axis"
+        )
     if f.ndim == 3:
         B, H, W = f.shape
         idx = jnp.arange(B, dtype=jnp.int32)[:, None, None] * (H * W) + ix * W + iy

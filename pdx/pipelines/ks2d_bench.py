@@ -99,7 +99,7 @@ class Ks2dBenchConfig:
     weak_basis: str = "gaussian"
     weak_n_phi: int = 64
     weak_sigma_px: float = 6.0
-    weak_grad_cutoff: float = 0.65
+    weak_grad_cutoff: float | None = None  # None -> 0.65 in spectral mode
     weak_motion_correct: bool = False
     weak_motion_est_sigma: float = 0.0
     weak_motion_smooth: int = 7

@@ -76,6 +76,7 @@ def generate_presentation_figures_minimal(
 
     # FIG_DATA_FRAMES: first/middle/last raw frames (reference :40-87)
     if data_dir is not None:
+        fig = None
         try:
             from pdx.io_host.images import load_images
 
@@ -90,10 +91,12 @@ def generate_presentation_figures_minimal(
             plt.tight_layout()
             p = slides_dir / "FIG_DATA_FRAMES.png"
             plt.savefig(p, dpi=150, bbox_inches="tight")
-            plt.close(fig)
             outs.append(p)
-        except Exception:
+        except (OSError, RuntimeError, FileNotFoundError, ValueError):
             pass  # no readable data dir: the artifact-only assets still render
+        finally:
+            if fig is not None:
+                plt.close(fig)
 
     # FIG1: model comparison (R2 + rollout nRMSE)
     models = comp["models"]

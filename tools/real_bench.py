@@ -82,6 +82,17 @@ def main() -> None:
 
     results: dict[str, dict] = {}
     for name, job in jobs.items():
+        # fresh per-pipeline stack-cache dir: each pipeline's cold pass pays
+        # the full decode+cache-write, matching how every reference script
+        # decodes its own stack (REF_CPU was measured that way) — without
+        # this, pipeline N's cold pass silently hits the cache written by
+        # pipeline N-1 and the cold vs-baseline speedups inflate
+        import os as _os
+        import tempfile as _tempfile
+
+        _os.environ["PDX_STACK_CACHE_DIR"] = _tempfile.mkdtemp(
+            prefix=f"pdx_stack_cache_{name}_"
+        )
         times = []
         for p in ("cold", "warm"):
             t0 = time.perf_counter()
@@ -101,6 +112,10 @@ def main() -> None:
         print(f"{name}: {results[name]}", flush=True)
 
     results["backend"] = jax.default_backend()
+    results["stack_cache"] = (
+        "fresh dir per pipeline: cold includes decode+cache-write, "
+        "warm hits that pipeline's own cache"
+    )
     # cold-run per-stage analyze breakdown (VERDICT r2 #2: the stage table
     # behind the analyze wall-clock)
     if an_timer.stages:
