@@ -60,7 +60,8 @@ def cmd_ks2d_bench(argv: list[str]) -> int:
     for k, v in res["gt_errors"].items():
         print(f"  {k:8s}: gt={v['gt']:+.6f}, est={v['est']:+.6f}, rel_err={v['rel_err_pct']:.3f}%")
     print("\nFit quality:")
-    print(f"  Train R2={res['fit']['train_r2']:.6f}, RMSE={res['fit']['train_rmse']:.6e}")
+    if "train_r2" in res["fit"]:  # fast grid paths report the scored split only
+        print(f"  Train R2={res['fit']['train_r2']:.6f}, RMSE={res['fit']['train_rmse']:.6e}")
     print(f"  Test  R2={res['fit']['test_r2']:.6f}, RMSE={res['fit']['test_rmse']:.6e}")
     r = res["rollout"]
     print(

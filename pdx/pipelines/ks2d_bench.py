@@ -337,6 +337,12 @@ def _fused_fullfield_grid(U_for_ut, U_for_features, DT, dx, dy, alphas, threshol
 
     Ut = forward_difference_ut(U_for_ut, DT)
     stats = fused_ks_gram(U_for_features[:-1], Ut, dx=dx, dy=dy)
+    return _grid_from_stats(stats, alphas, thresholds)
+
+
+def _grid_from_stats(stats, alphas, thresholds):
+    """RMS-scaled alpha x threshold STRidge grid + full-set metrics, all from
+    (p, p) sufficient statistics — no materialized design matrix."""
     # RMS column scaling as a pure stats transform (main:1645-1655 analog)
     s = jnp.sqrt(jnp.diagonal(stats["G"]) / stats["n"]) + 1e-12
     sstats = {
@@ -349,7 +355,7 @@ def _fused_fullfield_grid(U_for_ut, U_for_features, DT, dx, dy, alphas, threshol
     }
     coeffs_s, _masks = stridge_grid(sstats, alphas, thresholds, max_iter=25)
     coeffs_grid = coeffs_s / s
-    # full-field metrics from raw statistics: ||y - Xc||^2 = syy - 2c.b + c'Gc
+    # full-set metrics from raw statistics: ||y - Xc||^2 = syy - 2c.b + c'Gc
     resid2 = (
         stats["syy"]
         - 2.0 * jnp.einsum("atp,p->at", coeffs_grid, stats["b"])
@@ -361,6 +367,24 @@ def _fused_fullfield_grid(U_for_ut, U_for_features, DT, dx, dy, alphas, threshol
     err = jnp.sqrt(resid2 / stats["n"])
     n_active = jnp.sum(jnp.abs(coeffs_grid) > 0, axis=-1)
     return coeffs_grid, r2, err, n_active
+
+
+@partial(_jax.jit, static_argnames=("DT", "dx", "dy", "bt", "bx", "by"))
+def _fused_blockwise_grid(U_for_ut, U_for_features, DT, dx, dy, alphas, thresholds,
+                          bt, bx, by):
+    """Pallas streaming variant of the BLOCKWISE grid benchmark: the fused
+    block-average+Gram kernel (pdx.ops.pallas.fused_blockwise) accumulates
+    the blockwise dataset's sufficient statistics over every block in one
+    pass — no (p, T, H, W) term-stack materialization, no (n_blocks, p)
+    design matrix. Grid scored by full-block-set train R^2 from the same
+    statistics (same rationale as the full-field path)."""
+    from pdx.ops.pallas.fused_blockwise import fused_blockwise_gram
+
+    Ut = forward_difference_ut(U_for_ut, DT)
+    stats = fused_blockwise_gram(
+        U_for_features[:-1], Ut, dx=dx, dy=dy, block_t=bt, block_x=bx, block_y=by
+    )
+    return _grid_from_stats(stats, alphas, thresholds)
 
 
 def _score_grid(coeffs_grid, X_te, y_te):
@@ -574,12 +598,21 @@ def _run_fast_pointwise_grid(cfg: Ks2dBenchConfig, fr: dict[str, Any], rng: np.r
                 "differences; set dictionary='true', derivatives='finite', "
                 "include_advection=False"
             )
-        coeffs_grid, r2g, errg, nactg = _fused_fullfield_grid(
-            fr["U_for_ut"], fr["U_for_features"],
-            float(fr["DT"]), float(fr["dx"]), float(fr["dy"]),
-            jnp.asarray(GRID_ALPHAS, jnp.float32),
-            jnp.asarray(GRID_THRESHOLDS, jnp.float32),
-        )
+        if cfg.method == "blockwise":
+            coeffs_grid, r2g, errg, nactg = _fused_blockwise_grid(
+                fr["U_for_ut"], fr["U_for_features"],
+                float(fr["DT"]), float(fr["dx"]), float(fr["dy"]),
+                jnp.asarray(GRID_ALPHAS, jnp.float32),
+                jnp.asarray(GRID_THRESHOLDS, jnp.float32),
+                int(cfg.block_t), int(cfg.block_x), int(cfg.block_y),
+            )
+        else:
+            coeffs_grid, r2g, errg, nactg = _fused_fullfield_grid(
+                fr["U_for_ut"], fr["U_for_features"],
+                float(fr["DT"]), float(fr["dx"]), float(fr["dy"]),
+                jnp.asarray(GRID_ALPHAS, jnp.float32),
+                jnp.asarray(GRID_THRESHOLDS, jnp.float32),
+            )
     else:
         Ut_size = (fr["U_for_ut"].shape[0] - 1) * cfg.Nx * cfg.Ny
         n_sample = int(min(cfg.n_sample, Ut_size))
@@ -675,7 +708,10 @@ def run(cfg: Ks2dBenchConfig) -> dict[str, Any]:
     # fast path: the grid-search pointwise benchmark fuses dataset build,
     # split, and the whole hyperparameter sweep into one XLA dispatch
     fast = (
-        cfg.method == "pointwise"
+        (
+            cfg.method == "pointwise"
+            or (cfg.method == "blockwise" and cfg.solver == "pallas")
+        )
         and cfg.regression == "standard"
         and not cfg.robust
         and cfg.grid_search
@@ -683,9 +719,9 @@ def run(cfg: Ks2dBenchConfig) -> dict[str, Any]:
     )
     if cfg.solver == "pallas" and not fast:
         raise ValueError(
-            "solver='pallas' is the fused full-field grid path: requires "
-            "method='pointwise', regression='standard', grid_search=True, "
-            "robust=False, correct_shift_ut=False"
+            "solver='pallas' is the fused streaming grid path: requires "
+            "method='pointwise' or 'blockwise', regression='standard', "
+            "grid_search=True, robust=False, correct_shift_ut=False"
         )
     if fast:
         return _run_fast_pointwise_grid(cfg, fr, rng)

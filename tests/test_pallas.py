@@ -77,3 +77,45 @@ class TestFullFieldGridPath:
         )
         with pytest.raises(ValueError, match="pallas"):
             run(cfg)
+
+
+class TestFusedBlockwise:
+    def _compare(self, T, H, W, bt, bx, by, seed=0):
+        from pdx.ops.pallas.fused_blockwise import (
+            fused_blockwise_gram,
+            fused_blockwise_gram_reference,
+        )
+
+        rng = np.random.default_rng(seed)
+        U = jnp.asarray(rng.normal(size=(T, H, W)).astype(np.float32))
+        Ut = jnp.asarray(rng.normal(size=(T, H, W)).astype(np.float32))
+        ref = fused_blockwise_gram_reference(U, Ut, 0.5, 0.25, block_t=bt, block_x=bx, block_y=by)
+        got = fused_blockwise_gram(
+            U, Ut, dx=0.5, dy=0.25, block_t=bt, block_x=bx, block_y=by, interpret=True
+        )
+        for k in ("G", "b", "sx", "syy", "sy", "n"):
+            r, g = np.asarray(ref[k]), np.asarray(got[k])
+            np.testing.assert_allclose(
+                g, r, rtol=2e-4, atol=1e-4 * max(np.abs(r).max(), 1.0), err_msg=k
+            )
+
+    def test_matches_reference_interpret(self):
+        self._compare(T=9, H=32, W=128, bt=3, bx=8, by=8)
+
+    def test_ragged_tails_all_axes(self):
+        """T, H, W all non-divisible: separable valid-count normalization
+        must match build_blockwise_dataset's min() slicing on every axis."""
+        self._compare(T=8, H=30, W=126, bt=3, bx=8, by=8, seed=1)
+
+    def test_stridge_on_kernel_stats_recovers_planted(self):
+        from pdx.solve.stridge import stridge_from_stats
+        from pdx.ops.pallas.fused_gram import _ks_terms_2d
+        from pdx.ops.pallas.fused_blockwise import fused_blockwise_gram
+
+        rng = np.random.default_rng(2)
+        U = jnp.asarray(rng.normal(size=(12, 32, 128)).astype(np.float32))
+        lap, bih, gsq = _ks_terms_2d(U, 0.5, 0.5)
+        Ut = -1.0 * lap - 0.5 * gsq
+        stats = fused_blockwise_gram(U, Ut, dx=0.5, dy=0.5, block_t=3, block_x=8, block_y=8, interpret=True)
+        res = stridge_from_stats(stats, alpha=1e-8, threshold=1e-3)
+        np.testing.assert_allclose(np.asarray(res.coeffs), [-1.0, 0.0, -0.5], atol=2e-3)

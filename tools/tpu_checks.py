@@ -74,6 +74,66 @@ def timing(T: int = 2000, H: int = 100, W: int = 100, K: int = 50) -> dict[str, 
     return results
 
 
+def parity_blockwise(T: int = 63, H: int = 100, W: int = 100) -> None:
+    from pdx.ops.pallas.fused_blockwise import (
+        fused_blockwise_gram,
+        fused_blockwise_gram_reference,
+    )
+
+    rng = np.random.default_rng(1)
+    U = jnp.asarray(rng.normal(size=(T, H, W)), dtype=jnp.float32)
+    Ut = jnp.asarray(rng.normal(size=(T, H, W)), dtype=jnp.float32)
+    dx = dy = 0.5
+    kw = dict(block_t=3, block_x=8, block_y=8)
+    got = fused_blockwise_gram(U, Ut, dx=dx, dy=dy, interpret=False, **kw)
+    ref = jax.jit(
+        lambda U, Ut: fused_blockwise_gram_reference(U, Ut, dx, dy, **kw)
+    )(U, Ut)
+    scale = float(np.abs(np.asarray(ref["G"])).max())
+    for k in ("G", "b", "sx", "sy", "syy", "n"):
+        a, b = np.asarray(got[k]), np.asarray(ref[k])
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-4 * scale)
+    print(f"parity blockwise: ok (ragged T={T}, 3x8x8 blocks, {H}x{W})")
+
+
+def timing_blockwise(T: int = 2000, H: int = 100, W: int = 100, K: int = 50) -> dict[str, float]:
+    from pdx.ops.pallas.fused_blockwise import (
+        fused_blockwise_gram,
+        fused_blockwise_gram_reference,
+    )
+
+    rng = np.random.default_rng(1)
+    U = jnp.asarray(rng.normal(size=(T, H, W)), dtype=jnp.float32)
+    Ut = jnp.asarray(rng.normal(size=(T, H, W)), dtype=jnp.float32)
+    dx = dy = 0.5
+    kw = dict(block_t=3, block_x=8, block_y=8)
+
+    def chain(gram_fn):
+        @jax.jit
+        def run(U, Ut):
+            def body(i, carry):
+                out = gram_fn(U + carry, Ut)
+                return out["G"][0, 0] * 1e-30
+
+            return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
+
+        return run
+
+    results = {}
+    for name, fn in [
+        ("pallas", chain(lambda U, Ut: fused_blockwise_gram(U, Ut, dx=dx, dy=dy, interpret=False, **kw))),
+        ("xla", chain(lambda U, Ut: fused_blockwise_gram_reference(U, Ut, dx, dy, **kw))),
+    ]:
+        float(fn(U, Ut))  # compile + flip the tunnel to sync dispatch
+        t0 = time.perf_counter()
+        float(fn(U, Ut))
+        per_iter_ms = (time.perf_counter() - t0) / K * 1e3
+        results[name] = per_iter_ms
+        print(f"blockwise {name}: {per_iter_ms:.3f} ms/iter  (T={T}, {H}x{W}, K={K})")
+    print(f"blockwise speedup pallas vs xla: {results['xla'] / results['pallas']:.2f}x")
+    return results
+
+
 def bench_pallas_solver() -> None:
     from pdx.pipelines.ks2d_bench import Ks2dBenchConfig, run
 
@@ -91,8 +151,10 @@ def main() -> None:
         f"tpu_checks needs a TPU device, got {jax.default_backend()}"
     )
     parity()
+    parity_blockwise()
     bench_pallas_solver()
     timing()
+    timing_blockwise()
 
 
 if __name__ == "__main__":
