@@ -639,6 +639,9 @@ def _finalize(cfg, datasets, methods, results) -> dict[str, Any]:
     output = {
         "true_coef": TRUE_COEF.tolist(),
         "noise_configs": list(datasets.keys()),
+        # observability for the multi_device round-robin: which device each
+        # regime's dataset (and therefore its whole method sweep) ran on
+        "placement": {n: str(next(iter(d.devices()))) for n, d in datasets.items()},
         "methods": list(methods.keys()),
         "results": results,
         "rankings": dict(sorted_methods),

@@ -36,17 +36,28 @@ run_section() {
 
 note "battery $STAMP start"
 
-# 0. tunnel probe: a tiny matmul + device->host read. If this can't finish
-#    in 120 s the tunnel is wedged — mark and bail out before burning hours.
+# 0. tunnel probe: a tiny matmul + TWO device->host reads. The first read
+#    absorbs backend init + compile; the SECOND must be ~ms-fast — a tunnel
+#    that answers in 60 s still "completes" but every measurement behind it
+#    is garbage (seen 2026-08-17: probe read=60s passed, bench fell back).
 if ! timeout 120 python - > "$DIR/probe.log" 2>&1 <<'PY'
-import time, jax, jax.numpy as jnp
+import sys, time, jax, jax.numpy as jnp
 t0 = time.time()
 x = jnp.ones((128, 128))
 v = float((x @ x)[0, 0])
-print(f"probe ok: backend={jax.default_backend()} read={time.time()-t0:.3f}s value={v}")
+init_s = time.time() - t0
+t0 = time.time()
+v = float((x @ x)[0, 0])
+warm_s = time.time() - t0
+print(f"probe: backend={jax.default_backend()} init={init_s:.3f}s warm_read={warm_s:.3f}s value={v}")
+if jax.default_backend() != "tpu":
+    sys.exit("probe FAIL: not on TPU")
+if warm_s > 2.0 or init_s > 45.0:
+    sys.exit(f"probe FAIL: tunnel too slow (init={init_s:.1f}s warm={warm_s:.3f}s) — wedged or degraded")
 PY
 then
-  note "FAIL probe (tunnel wedged — battery aborted before any measurement)"
+  cat "$DIR/probe.log"
+  note "FAIL probe (tunnel wedged/degraded — battery aborted before any measurement)"
   note "battery INCOMPLETE (probe)"
   exit 1
 fi
