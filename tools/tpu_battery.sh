@@ -90,7 +90,12 @@ json.dump(out, open(sys.argv[1], "w"), indent=2)
 print(out)
 PY
 
-# 4. virtual-mesh scaling curve (CPU — cheap, but record it alongside)
+# 4. Pallas kernel microbenchmarks: parity + ms/iter vs the XLA path for the
+#    fused pointwise and blockwise Gram kernels (stamped record of the 8.9x /
+#    12x claims in docs/RESULTS.md)
+run_section pallas 1200 python tools/tpu_checks.py "$DIR/pallas.json"
+
+# 5. virtual-mesh scaling curve (CPU — cheap, but record it alongside)
 run_section mesh_scaling 1200 python tools/mesh_scaling.py \
   --out "$DIR/mesh_scaling.json"
 

@@ -147,14 +147,26 @@ def bench_pallas_solver() -> None:
 
 
 def main() -> None:
+    import json
+    import sys
+
     assert jax.default_backend() == "tpu", (
         f"tpu_checks needs a TPU device, got {jax.default_backend()}"
     )
     parity()
     parity_blockwise()
     bench_pallas_solver()
-    timing()
-    timing_blockwise()
+    pointwise = timing()
+    blockwise = timing_blockwise()
+    if len(sys.argv) > 1:  # stamped battery artifact
+        record = {
+            "pointwise_ms_per_iter": pointwise,
+            "pointwise_speedup": round(pointwise["xla"] / pointwise["pallas"], 2),
+            "blockwise_ms_per_iter": blockwise,
+            "blockwise_speedup": round(blockwise["xla"] / blockwise["pallas"], 2),
+        }
+        with open(sys.argv[1], "w") as f:
+            json.dump(record, f, indent=2)
 
 
 if __name__ == "__main__":

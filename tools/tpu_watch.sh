@@ -1,0 +1,51 @@
+#!/bin/bash
+# Detached tunnel watcher: probe the axon tunnel every PROBE_EVERY seconds;
+# the moment a warm device->host read is ms-fast, run the full TPU battery
+# (tools/tpu_battery.sh). Exits after a COMPLETE battery; keeps watching after
+# an INCOMPLETE one (tunnel wedged mid-run).
+#
+# Launch detached so it survives the parent session:
+#   setsid nohup bash tools/tpu_watch.sh > /tmp/tpu_watch2.log 2>&1 &
+#   echo $! > /tmp/tpu_watch2.pid
+# While a battery is running the file /tmp/battery_running exists — do NOT
+# start heavy CPU work while it does (single core; contention pollutes timings).
+set -u
+cd "$(dirname "$0")/.."
+PROBE_EVERY=${PROBE_EVERY:-600}
+MAX_HOURS=${MAX_HOURS:-11}
+deadline=$(( $(date +%s) + MAX_HOURS*3600 ))
+
+while [ "$(date +%s)" -lt "$deadline" ]; do
+  echo "--- probe $(date -u +%H:%M:%SZ)"
+  if timeout 120 python - <<'PY'
+import sys, time, jax, jax.numpy as jnp
+x = jnp.ones((128, 128))
+v = float((x @ x)[0, 0])          # absorb init + compile
+t0 = time.time(); v = float((x @ x)[0, 0]); warm = time.time() - t0
+print(f"probe: backend={jax.default_backend()} warm_read={warm:.3f}s")
+sys.exit(0 if (jax.default_backend() == "tpu" and warm < 2.0) else 1)
+PY
+  then
+    echo "=== tunnel healthy -> launching battery $(date -u +%H:%M:%SZ)"
+    # Single CPU core: wait (up to 30 min) for foreground work to finish so
+    # contention doesn't pollute the battery's wall-clock records.
+    waited=0
+    while [ -e /tmp/cpu_busy ] && [ "$waited" -lt 1800 ]; do
+      sleep 30; waited=$((waited + 30))
+    done
+    [ "$waited" -gt 0 ] && echo "    (waited ${waited}s for /tmp/cpu_busy to clear)"
+    touch /tmp/battery_running
+    bash tools/tpu_battery.sh
+    rc=$?
+    rm -f /tmp/battery_running
+    latest=$(ls -dt docs/measurements/battery_* 2>/dev/null | head -1)
+    if [ -n "$latest" ] && grep -q COMPLETE "$latest/STATUS" 2>/dev/null \
+        && ! grep -q INCOMPLETE "$latest/STATUS" 2>/dev/null; then
+      echo "=== battery COMPLETE ($latest) — watcher done"
+      exit 0
+    fi
+    echo "=== battery incomplete (rc=$rc) — back to watching"
+  fi
+  sleep "$PROBE_EVERY"
+done
+echo "=== watcher deadline reached without a COMPLETE battery"
