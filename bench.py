@@ -55,6 +55,10 @@ def main() -> None:
         and os.environ.get("PDX_BENCH_CPU_FALLBACK") != "1"
         and not _tpu_tunnel_healthy()
     ):
+        if os.environ.get("PDX_BENCH_NO_FALLBACK") == "1":
+            # battery mode: a wedged tunnel must fail FAST so the caller can
+            # retry later, not burn its section timeout on a CPU rerun
+            raise SystemExit("bench: TPU tunnel unresponsive (no-fallback mode)")
         # accelerator unreachable: re-exec on CPU so the round still gets an
         # honest number (the CPU path also beats the reference baseline)
         import subprocess

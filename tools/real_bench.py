@@ -80,7 +80,14 @@ def main() -> None:
         "transport": lambda o, p: tr_run(TransportConfig(data_dir=d, output_dir=o)),
     }
 
-    results: dict[str, dict] = {}
+    results: dict[str, dict] = {"backend": jax.default_backend()}
+
+    def flush() -> None:
+        # flush after every pipeline: the tunnel can wedge mid-battery and a
+        # partial record beats losing the whole section (see tpu_battery.sh)
+        if out_path:
+            out_path.write_text(json.dumps(results, indent=2))
+
     for name, job in jobs.items():
         # fresh per-pipeline stack-cache dir: each pipeline's cold pass pays
         # the full decode+cache-write, matching how every reference script
@@ -110,20 +117,19 @@ def main() -> None:
                 "speedup_warm": round(REF_CPU[name] / times[1], 2),
             }
         print(f"{name}: {results[name]}", flush=True)
+        # cold-run per-stage analyze breakdown (VERDICT r2 #2: the stage
+        # table behind the analyze wall-clock)
+        if name == "analyze" and an_timer.stages:
+            results["analyze_stage_seconds_cold"] = {
+                k: round(v, 2) for k, v in an_timer.stages.items()
+            }
+        flush()
 
-    results["backend"] = jax.default_backend()
     results["stack_cache"] = (
         "fresh dir per pipeline: cold includes decode+cache-write, "
         "warm hits that pipeline's own cache"
     )
-    # cold-run per-stage analyze breakdown (VERDICT r2 #2: the stage table
-    # behind the analyze wall-clock)
-    if an_timer.stages:
-        results["analyze_stage_seconds_cold"] = {
-            k: round(v, 2) for k, v in an_timer.stages.items()
-        }
-    if out_path:
-        out_path.write_text(json.dumps(results, indent=2))
+    flush()
 
 
 if __name__ == "__main__":

@@ -20,6 +20,28 @@ FAILED=""
 
 note() { echo "$*" | tee -a "$STATUS"; }
 
+reprobe() {
+  # quick tunnel re-check between sections: the tunnel flaps on ~minute
+  # timescales (seen 2026-08-17: 32 ms warm read, wedged <1 min later) —
+  # running TPU sections against a wedged tunnel burns their full timeout
+  # on garbage. Returns nonzero when the tunnel is gone.
+  timeout 100 python - <<'PY' >/dev/null 2>&1
+import sys, time, jax, jax.numpy as jnp
+x = jnp.ones((128, 128)); v = float((x @ x)[0, 0])
+t0 = time.time(); v = float((x @ x)[0, 0])
+sys.exit(0 if (jax.default_backend() == "tpu" and time.time() - t0 < 2.0) else 1)
+PY
+}
+
+abort_if_wedged() {
+  if ! reprobe; then
+    note "FAIL reprobe before $1 (tunnel wedged mid-battery — aborting remaining TPU sections)"
+    FAILED="$FAILED reprobe:$1"
+    return 1
+  fi
+  return 0
+}
+
 run_section() {
   # run_section <name> <timeout_s> <cmd...>: tee output to its own log,
   # record ok/fail immediately, never abort the battery.
@@ -64,15 +86,13 @@ fi
 note "ok probe: $(tail -1 "$DIR/probe.log")"
 
 # 1. the driver bench (writes docs/measurements/bench_tpu_<stamp>.json itself)
-run_section bench 900 python bench.py
+#    no-fallback: a wedge must fail in ~90 s, not burn 900 s on a CPU rerun
+run_section bench 900 env PDX_BENCH_NO_FALLBACK=1 python bench.py
 
-# 2. real-image pipeline sweep (cold+warm x 4 pipelines)
-run_section real_bench 3600 python tools/real_bench.py /tmp/synth51 \
-  --out "$DIR/real_bench.json"
-[ -f "$DIR/real_bench.json" ] && cp "$DIR/real_bench.json" outputs/real_bench_tpu.json
-
-# 3. comprehensive 21x8 matrix, batched dispatch, cold + warm (VERDICT r2 #2)
-run_section comprehensive 2400 python - "$DIR/comprehensive.json" <<'PY'
+# 2. comprehensive 21x8 matrix, batched dispatch, cold + warm (VERDICT r2 #2)
+#    — before the long real_bench sweep: a wedge mid-battery should cost the
+#    least-owed section, and real_bench now flushes per-pipeline anyway
+abort_if_wedged comprehensive && run_section comprehensive 2400 python - "$DIR/comprehensive.json" <<'PY'
 import json, sys, time
 import pdx
 pdx.enable_compilation_cache()
@@ -90,10 +110,16 @@ json.dump(out, open(sys.argv[1], "w"), indent=2)
 print(out)
 PY
 
+# 3. real-image pipeline sweep (cold+warm x 4 pipelines; flushes its JSON
+#    after every pipeline so a wedge keeps the completed ones)
+abort_if_wedged real_bench && run_section real_bench 3600 python tools/real_bench.py /tmp/synth51 \
+  --out "$DIR/real_bench.json"
+[ -f "$DIR/real_bench.json" ] && cp "$DIR/real_bench.json" outputs/real_bench_tpu.json
+
 # 4. Pallas kernel microbenchmarks: parity + ms/iter vs the XLA path for the
 #    fused pointwise and blockwise Gram kernels (stamped record of the 8.9x /
 #    12x claims in docs/RESULTS.md)
-run_section pallas 1200 python tools/tpu_checks.py "$DIR/pallas.json"
+abort_if_wedged pallas && run_section pallas 1200 python tools/tpu_checks.py "$DIR/pallas.json"
 
 # 5. virtual-mesh scaling curve (CPU — cheap, but record it alongside)
 run_section mesh_scaling 1200 python tools/mesh_scaling.py \

@@ -15,9 +15,8 @@ PROBE_EVERY=${PROBE_EVERY:-600}
 MAX_HOURS=${MAX_HOURS:-11}
 deadline=$(( $(date +%s) + MAX_HOURS*3600 ))
 
-while [ "$(date +%s)" -lt "$deadline" ]; do
-  echo "--- probe $(date -u +%H:%M:%SZ)"
-  if timeout 120 python - <<'PY'
+probe_once() {
+  timeout 120 python - <<'PY'
 import sys, time, jax, jax.numpy as jnp
 x = jnp.ones((128, 128))
 v = float((x @ x)[0, 0])          # absorb init + compile
@@ -25,6 +24,14 @@ t0 = time.time(); v = float((x @ x)[0, 0]); warm = time.time() - t0
 print(f"probe: backend={jax.default_backend()} warm_read={warm:.3f}s")
 sys.exit(0 if (jax.default_backend() == "tpu" and warm < 2.0) else 1)
 PY
+}
+
+while [ "$(date +%s)" -lt "$deadline" ]; do
+  echo "--- probe $(date -u +%H:%M:%SZ)"
+  # demand TWO healthy probes 60 s apart: the tunnel flaps on ~minute
+  # timescales (2026-08-17: 32 ms warm read, wedged <1 min later), and a
+  # battery launched into a flap burns its section timeouts on garbage
+  if probe_once && sleep 60 && echo "--- confirm $(date -u +%H:%M:%SZ)" && probe_once
   then
     echo "=== tunnel healthy -> launching battery $(date -u +%H:%M:%SZ)"
     # Single CPU core: wait (up to 30 min) for foreground work to finish so
