@@ -20,39 +20,59 @@ import time
 BASELINE_SECONDS = 14.97  # reference CPU wall-clock on this host (see docstring)
 
 
-def _tpu_tunnel_healthy(timeout_s: float = 90.0) -> bool:
+def _tpu_tunnel_healthy(timeout_s: float = 90.0, attempts: int = 2) -> bool:
     """Probe the accelerator with a tiny compute+read in a SUBPROCESS.
 
     The tunneled axon backend can wedge for hours (device->host reads hang
     indefinitely); a hung bench records nothing for the round. The probe
     must run in a child because a wedged read cannot be interrupted
-    in-process.
+    in-process — and it must run BEFORE this process initializes jax
+    (see main): the tunnel serves one client at a time, so a probe spawned
+    while the parent holds the chip can hang against a healthy tunnel.
+    A single hang retries once: a probe launched seconds after another
+    process released the chip can stall on acquisition.
     """
     import subprocess
     import sys
+    import time
 
     code = (
         "import jax, jax.numpy as jnp\n"
         "x = jnp.ones((128, 128))\n"
         "print(float((x @ x)[0, 0]))\n"
     )
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-c", code], timeout=timeout_s, capture_output=True
-        )
-        return proc.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    for i in range(attempts):
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", code], timeout=timeout_s, capture_output=True
+            )
+            if proc.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if i + 1 < attempts:
+            time.sleep(30)
+    return False
+
+
+def _env_forces_cpu() -> bool:
+    import os
+
+    return "cpu" in (
+        os.environ.get("JAX_PLATFORMS", "") + os.environ.get("JAX_PLATFORM_NAME", "")
+    )
 
 
 def main() -> None:
     import os
 
-    import jax
-
+    # probe BEFORE importing jax: backend init acquires the tunneled chip,
+    # and a probe subprocess spawned while this process holds it hangs
+    # against a perfectly healthy tunnel (the 16:01Z false fallback,
+    # 2026-08-17 — the probe competed with its own parent for the device)
     if (
-        jax.default_backend() not in ("cpu",)
-        and os.environ.get("PDX_BENCH_CPU_FALLBACK") != "1"
+        os.environ.get("PDX_BENCH_CPU_FALLBACK") != "1"
+        and not _env_forces_cpu()
         and not _tpu_tunnel_healthy()
     ):
         if os.environ.get("PDX_BENCH_NO_FALLBACK") == "1":
@@ -70,6 +90,8 @@ def main() -> None:
         env["PDX_BENCH_CPU_FALLBACK"] = "1"
         sys.stderr.write("bench: TPU tunnel unresponsive, falling back to CPU\n")
         raise SystemExit(subprocess.run([sys.executable, __file__], env=env).returncode)
+
+    import jax
 
     import pdx
 

@@ -33,8 +33,25 @@ sys.exit(0 if (jax.default_backend() == "tpu" and time.time() - t0 < 2.0) else 1
 PY
 }
 
+probe_retry() {
+  # probe_retry <label> <attempts>: a single hung probe does NOT mean the
+  # tunnel is gone — a probe launched seconds after another process released
+  # the chip can hang on acquisition (seen 2026-08-17 16:37: two healthy
+  # probes, then a hang 30 s later). Retry with 60 s gaps before concluding.
+  local label="$1" attempts="${2:-3}" i
+  for i in $(seq 1 "$attempts"); do
+    if reprobe; then
+      [ "$i" -gt 1 ] && note "note: probe $label recovered on attempt $i"
+      return 0
+    fi
+    echo "    probe $label attempt $i/$attempts failed $(date -u +%H:%M:%SZ)"
+    [ "$i" -lt "$attempts" ] && sleep 60
+  done
+  return 1
+}
+
 abort_if_wedged() {
-  if ! reprobe; then
+  if ! probe_retry "$1" 3; then
     note "FAIL reprobe before $1 (tunnel wedged mid-battery — aborting remaining TPU sections)"
     FAILED="$FAILED reprobe:$1"
     return 1
@@ -62,7 +79,11 @@ note "battery $STAMP start"
 #    absorbs backend init + compile; the SECOND must be ~ms-fast — a tunnel
 #    that answers in 60 s still "completes" but every measurement behind it
 #    is garbage (seen 2026-08-17: probe read=60s passed, bench fell back).
-if ! timeout 120 python - > "$DIR/probe.log" 2>&1 <<'PY'
+#    Retried: a hang right after another process released the chip is an
+#    acquisition stall, not an hours-long wedge.
+probe_ok=""
+for attempt in 1 2 3 4 5; do
+  if timeout 120 python - > "$DIR/probe.log" 2>&1 <<'PY'
 import sys, time, jax, jax.numpy as jnp
 t0 = time.time()
 x = jnp.ones((128, 128))
@@ -77,9 +98,13 @@ if jax.default_backend() != "tpu":
 if warm_s > 2.0 or init_s > 45.0:
     sys.exit(f"probe FAIL: tunnel too slow (init={init_s:.1f}s warm={warm_s:.3f}s) — wedged or degraded")
 PY
-then
+  then probe_ok=1; break; fi
+  echo "    initial probe attempt $attempt/5 failed $(date -u +%H:%M:%SZ)"
+  [ "$attempt" -lt 5 ] && sleep 60
+done
+if [ -z "$probe_ok" ]; then
   cat "$DIR/probe.log"
-  note "FAIL probe (tunnel wedged/degraded — battery aborted before any measurement)"
+  note "FAIL probe (tunnel wedged/degraded after 5 attempts — battery aborted before any measurement)"
   note "battery INCOMPLETE (probe)"
   exit 1
 fi
