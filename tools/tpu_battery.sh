@@ -9,6 +9,11 @@
 #
 # Durable artifacts land under docs/measurements/battery_<stamp>/ (tracked in
 # git); bench.py additionally writes its own per-run stamped record.
+#
+# Resumable: SECTIONS="bench real_bench" runs a subset (default all). Every
+# section that finishes ok is appended to outputs/battery_sections_done.txt,
+# so a caller (tools/tpu_watch.sh) can retry only what a flapping tunnel cut
+# short instead of restarting the whole 45-90 min sweep each time.
 set -u
 cd "$(dirname "$0")/.."
 STAMP=$(date -u +%Y%m%dT%H%M%SZ)
@@ -17,8 +22,13 @@ mkdir -p "$DIR" outputs
 STATUS="$DIR/STATUS"
 : > "$STATUS"
 FAILED=""
+ALL_SECTIONS="bench comprehensive real_bench pallas mesh_scaling"
+SECTIONS="${SECTIONS:-$ALL_SECTIONS}"
+DONE_FILE="outputs/battery_sections_done.txt"
 
 note() { echo "$*" | tee -a "$STATUS"; }
+
+want() { case " $SECTIONS " in *" $1 "*) return 0 ;; *) return 1 ;; esac; }
 
 reprobe() {
   # quick tunnel re-check between sections: the tunnel flaps on ~minute
@@ -66,6 +76,7 @@ run_section() {
   echo "=== section $name ($(date -u +%H:%M:%SZ))"
   if timeout "$tmo" "$@" > "$DIR/${name}.log" 2>&1; then
     note "ok $name"
+    echo "$name $STAMP" >> "$DONE_FILE"
   else
     note "FAIL $name (rc=$? — timeout or error; see ${name}.log)"
     FAILED="$FAILED $name"
@@ -112,12 +123,12 @@ note "ok probe: $(tail -1 "$DIR/probe.log")"
 
 # 1. the driver bench (writes docs/measurements/bench_tpu_<stamp>.json itself)
 #    no-fallback: a wedge must fail in ~90 s, not burn 900 s on a CPU rerun
-run_section bench 900 env PDX_BENCH_NO_FALLBACK=1 python bench.py
+want bench && run_section bench 900 env PDX_BENCH_NO_FALLBACK=1 python bench.py
 
 # 2. comprehensive 21x8 matrix, batched dispatch, cold + warm (VERDICT r2 #2)
 #    — before the long real_bench sweep: a wedge mid-battery should cost the
 #    least-owed section, and real_bench now flushes per-pipeline anyway
-abort_if_wedged comprehensive && run_section comprehensive 2400 python - "$DIR/comprehensive.json" <<'PY'
+want comprehensive && abort_if_wedged comprehensive && run_section comprehensive 2400 python - "$DIR/comprehensive.json" <<'PY'
 import json, sys, time
 import pdx
 pdx.enable_compilation_cache()
@@ -137,17 +148,17 @@ PY
 
 # 3. real-image pipeline sweep (cold+warm x 4 pipelines; flushes its JSON
 #    after every pipeline so a wedge keeps the completed ones)
-abort_if_wedged real_bench && run_section real_bench 3600 python tools/real_bench.py /tmp/synth51 \
+want real_bench && abort_if_wedged real_bench && run_section real_bench 3600 python tools/real_bench.py /tmp/synth51 \
   --out "$DIR/real_bench.json"
 [ -f "$DIR/real_bench.json" ] && cp "$DIR/real_bench.json" outputs/real_bench_tpu.json
 
 # 4. Pallas kernel microbenchmarks: parity + ms/iter vs the XLA path for the
 #    fused pointwise and blockwise Gram kernels (stamped record of the 8.9x /
 #    12x claims in docs/RESULTS.md)
-abort_if_wedged pallas && run_section pallas 1200 python tools/tpu_checks.py "$DIR/pallas.json"
+want pallas && abort_if_wedged pallas && run_section pallas 1200 python tools/tpu_checks.py "$DIR/pallas.json"
 
 # 5. virtual-mesh scaling curve (CPU — cheap, but record it alongside)
-run_section mesh_scaling 1200 python tools/mesh_scaling.py \
+want mesh_scaling && run_section mesh_scaling 1200 python tools/mesh_scaling.py \
   --out "$DIR/mesh_scaling.json"
 
 if [ -z "$FAILED" ]; then

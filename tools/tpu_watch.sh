@@ -41,17 +41,29 @@ while [ "$(date +%s)" -lt "$deadline" ]; do
       sleep 30; waited=$((waited + 30))
     done
     [ "$waited" -gt 0 ] && echo "    (waited ${waited}s for /tmp/cpu_busy to clear)"
-    touch /tmp/battery_running
-    bash tools/tpu_battery.sh
-    rc=$?
-    rm -f /tmp/battery_running
-    latest=$(ls -dt docs/measurements/battery_* 2>/dev/null | head -1)
-    if [ -n "$latest" ] && grep -q COMPLETE "$latest/STATUS" 2>/dev/null \
-        && ! grep -q INCOMPLETE "$latest/STATUS" 2>/dev/null; then
-      echo "=== battery COMPLETE ($latest) — watcher done"
+    # resume: run only the sections no previous attempt completed
+    remaining=""
+    for s in bench comprehensive real_bench pallas mesh_scaling; do
+      grep -q "^$s " outputs/battery_sections_done.txt 2>/dev/null || remaining="$remaining $s"
+    done
+    if [ -z "$remaining" ]; then
+      echo "=== all battery sections already recorded — watcher done"
       exit 0
     fi
-    echo "=== battery incomplete (rc=$rc) — back to watching"
+    echo "=== launching battery for:$remaining"
+    touch /tmp/battery_running
+    SECTIONS="${remaining# }" bash tools/tpu_battery.sh
+    rc=$?
+    rm -f /tmp/battery_running
+    still=""
+    for s in bench comprehensive real_bench pallas mesh_scaling; do
+      grep -q "^$s " outputs/battery_sections_done.txt 2>/dev/null || still="$still $s"
+    done
+    if [ -z "$still" ]; then
+      echo "=== every battery section recorded — watcher done"
+      exit 0
+    fi
+    echo "=== battery attempt done (rc=$rc), still owed:$still — back to watching"
   fi
   sleep "$PROBE_EVERY"
 done
