@@ -92,6 +92,13 @@ note "battery $STAMP start"
 #    is garbage (seen 2026-08-17: probe read=60s passed, bench fell back).
 #    Retried: a hang right after another process released the chip is an
 #    acquisition stall, not an hours-long wedge.
+#    Skipped entirely when only CPU sections are wanted (mesh_scaling can be
+#    pre-recorded without spending a healthy-tunnel window on it).
+needs_tpu=""
+for s in bench comprehensive real_bench pallas; do want "$s" && needs_tpu=1; done
+if [ -z "$needs_tpu" ]; then
+  note "probe skipped (CPU-only sections: $SECTIONS)"
+else
 probe_ok=""
 for attempt in 1 2 3 4 5; do
   if timeout 120 python - > "$DIR/probe.log" 2>&1 <<'PY'
@@ -120,6 +127,7 @@ if [ -z "$probe_ok" ]; then
   exit 1
 fi
 note "ok probe: $(tail -1 "$DIR/probe.log")"
+fi
 
 # 1. the driver bench (writes docs/measurements/bench_tpu_<stamp>.json itself)
 #    no-fallback: a wedge must fail in ~90 s, not burn 900 s on a CPU rerun
