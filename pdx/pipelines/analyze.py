@@ -126,7 +126,12 @@ class AnalyzeConfig:
     # (analyze_results.py:229-242) — T-1 chained pyramid dispatches; forced
     # when reference_compat_warp=True (composition is meaningless under the
     # x - flow warp bug). "to_first": direct anchored estimation vs frame 0.
-    register_mode: str = "compose"  # compose | chain | to_first
+    # "auto": compose on accelerators (dispatch-latency-bound: T-1 chained
+    # pyramids cost ~187 ms each through the tunnel), chain on CPU (a 1-core
+    # host is bandwidth-bound: the batched (T-1, H, W) pyramid thrashes what
+    # the frame-at-a-time chain keeps cache-resident — measured 133 s vs
+    # 100-115 s warm on the 51-frame synth stack).
+    register_mode: str = "auto"  # auto | compose | chain | to_first
     # extension: add the 25-term 4th-order library (notebook 02) as Model 7
     include_fourth_order: bool = False
     dtype: str = "float64"
@@ -166,6 +171,10 @@ def preprocess(cfg: AnalyzeConfig, U_raw: np.ndarray, timer=None) -> jnp.ndarray
     if cfg.registration:
         with st("registration"):
             mode = "chain" if cfg.reference_compat_warp else cfg.register_mode
+            if mode == "auto":
+                import jax
+
+                mode = "chain" if jax.default_backend() == "cpu" else "compose"
             if mode == "chain":
                 U = sync(farneback_register_sequence(
                     U, warp_sign=-1.0 if cfg.reference_compat_warp else 1.0
@@ -783,11 +792,14 @@ def cmd_analyze(argv: list[str]) -> int:
     parser.add_argument("--robust", action="store_true")
     parser.add_argument("--stabilize", action="store_true")
     parser.add_argument("--no-registration", action="store_true")
-    parser.add_argument("--register-mode", choices=["compose", "chain", "to_first"],
-                        default="compose",
-                        help="compose: batched pairwise flows + composition "
-                        "(one program; default); chain: reference sequential "
-                        "warp-to-previous; to_first: anchored to frame 0")
+    parser.add_argument("--register-mode",
+                        choices=["auto", "compose", "chain", "to_first"],
+                        default="auto",
+                        help="auto: compose on accelerators, chain on CPU "
+                        "(default); compose: batched pairwise flows + "
+                        "composition (one program); chain: reference "
+                        "sequential warp-to-previous; to_first: anchored "
+                        "to frame 0")
     parser.add_argument("--reference-compat-warp", action="store_true")
     parser.add_argument("--include-fourth-order", action="store_true",
                         help="add the 25-term 4th-order library (notebook 02) as Model 7")

@@ -48,7 +48,7 @@ class PatchDiscoveryConfig:
     max_images: int = 51
     seed: int = 0
     registration: bool = True
-    register_mode: str = "compose"  # compose | chain | to_first (see analyze)
+    register_mode: str = "auto"  # auto | compose | chain | to_first (see analyze)
     rt: int = 2
     rs: int = 3
     deg: int = 3
@@ -142,6 +142,10 @@ def run(cfg: PatchDiscoveryConfig, U_raw: np.ndarray | None = None) -> dict[str,
     )
     if cfg.registration:
         mode = "chain" if cfg.reference_compat_warp else cfg.register_mode
+        if mode == "auto":
+            import jax
+
+            mode = "chain" if jax.default_backend() == "cpu" else "compose"
         if mode == "chain":
             U = farneback_register_sequence(U, warp_sign=-1.0 if cfg.reference_compat_warp else 1.0)
         else:
@@ -351,8 +355,9 @@ def cmd_patch_discover(argv: list[str]) -> int:
     parser.add_argument("--max-images", type=int, default=51)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--no-registration", action="store_true")
-    parser.add_argument("--register-mode", choices=["compose", "chain", "to_first"],
-                        default="compose")
+    parser.add_argument("--register-mode",
+                        choices=["auto", "compose", "chain", "to_first"],
+                        default="auto")
     parser.add_argument("--rt", type=int, default=2)
     parser.add_argument("--rs", type=int, default=3)
     parser.add_argument("--deg", type=int, default=3)

@@ -122,7 +122,11 @@ PY
 done
 if [ -z "$probe_ok" ]; then
   cat "$DIR/probe.log"
-  note "FAIL probe (tunnel wedged/degraded after 5 attempts — battery aborted before any measurement)"
+  note "FAIL probe (tunnel wedged/degraded after 5 attempts — chip sections aborted)"
+  # CPU-only sections don't need the tunnel — record them anyway so a
+  # wedged-all-day tunnel still retires them
+  want mesh_scaling && run_section mesh_scaling 1200 python tools/mesh_scaling.py \
+    --out "$DIR/mesh_scaling.json"
   note "battery INCOMPLETE (probe)"
   exit 1
 fi

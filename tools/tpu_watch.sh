@@ -34,10 +34,13 @@ while [ "$(date +%s)" -lt "$deadline" ]; do
   if probe_once && sleep 60 && echo "--- confirm $(date -u +%H:%M:%SZ)" && probe_once
   then
     echo "=== tunnel healthy -> launching battery $(date -u +%H:%M:%SZ)"
-    # Single CPU core: wait (up to 30 min) for foreground work to finish so
-    # contention doesn't pollute the battery's wall-clock records.
+    # Single CPU core: wait (briefly) for foreground work to finish so
+    # contention doesn't pollute the battery's wall-clock records. Capped at
+    # 5 min: a healthy-tunnel window lasts minutes (the 17:02Z launch waited
+    # 750 s on this flag and the window was gone) — losing the window costs
+    # more than a contended measurement, which the battery can redo.
     waited=0
-    while [ -e /tmp/cpu_busy ] && [ "$waited" -lt 1800 ]; do
+    while [ -e /tmp/cpu_busy ] && [ "$waited" -lt 300 ]; do
       sleep 30; waited=$((waited + 30))
     done
     [ "$waited" -gt 0 ] && echo "    (waited ${waited}s for /tmp/cpu_busy to clear)"
