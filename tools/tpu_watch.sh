@@ -28,10 +28,12 @@ PY
 
 while [ "$(date +%s)" -lt "$deadline" ]; do
   echo "--- probe $(date -u +%H:%M:%SZ)"
-  # demand TWO healthy probes 60 s apart: the tunnel flaps on ~minute
-  # timescales (2026-08-17: 32 ms warm read, wedged <1 min later), and a
-  # battery launched into a flap burns its section timeouts on garbage
-  if probe_once && sleep 60 && echo "--- confirm $(date -u +%H:%M:%SZ)" && probe_once
+  # ONE healthy probe launches the battery. (A confirm-probe 60 s later was
+  # tried and counterproductive: every observed wedge-after-healthy follows
+  # rapid successive tunnel connections, so the extra probe+latency spent
+  # the very window it was validating. The battery's own initial probe
+  # retries 5x and each section is wedge-isolated — that is the real gate.)
+  if probe_once
   then
     echo "=== tunnel healthy -> launching battery $(date -u +%H:%M:%SZ)"
     # Single CPU core: wait (briefly) for foreground work to finish so
