@@ -91,44 +91,88 @@ def bilinear_sample_reflect(f: Array, x: Array, y: Array) -> Array:
     )
 
 
-def _gather2d_flat_batch(f: Array, ix: Array, iy: Array) -> Array:
-    """Per-batch-element gather via ONE flat 1-D take.
+def _gather2d_rowfold_batch(f: Array, ix: Array, iy: Array) -> Array:
+    """Per-batch-element gather as a plain 2-index advanced-index gather.
 
-    ``f`` is (B, H, W) or (B, C, H, W); ``ix``/``iy`` are integer (B, h, w)
-    index arrays that DIFFER per batch element. The naive ``vmap`` of
-    ``f[ix, iy]`` lowers to a gather with batching dimensions, which XLA:TPU
-    executes on a pathologically slow path (measured 100-400x slower than
-    the single-example program — farneback.py round-2 notes). Flattening the
-    operand and folding the batch/channel offsets into the indices produces
-    a single plain 1-D gather, which lowers to the fast path on every
-    backend.
+    ``f`` is (B, H, W) or (C, B, H, W) — channel axis FIRST in the batched
+    form; ``ix``/``iy`` are integer (B, h, w) index arrays that DIFFER per
+    batch element. Folding the batch axis into the ROW index
+    (``f.reshape(B*H, W)[b*H + ix, iy]``) reproduces the exact gather
+    structure of the fast unbatched path ``f[..., ix, iy]`` — a plain gather
+    with two collapsed dims and NO batching dims. Two prior formulations
+    measured slower on chip:
+
+      * ``vmap`` of ``f[ix, iy]`` lowers to a gather with batching
+        dimensions — the pathologically slow XLA:TPU path (100-400x,
+        round-2 notes);
+      * flattening everything into ONE 1-D ``jnp.take`` (round-3) lowers to
+        per-element slices and materializes multi-GB s32 index tensors —
+        measured 3.5-8x slower PER FLOW than the unbatched dispatch chain
+        and the source of the 27.5 GB patch-grid OOM
+        (battery_20260817T192554Z/flow_bench.json).
     """
     # shapes are static at trace time: refuse silently-wrapping int32 index
-    # arithmetic (B*C*H*W >= 2^31 would clip to wrong elements with no error)
+    # arithmetic (B*H >= 2^31 rows would clip with no error)
     if f.size >= 2**31:
         raise ValueError(
-            f"flat-gather operand has {f.size} elements (>= 2^31): int32 "
+            f"gather operand has {f.size} elements (>= 2^31): int32 "
             "index arithmetic would overflow — split the batch axis"
         )
     if f.ndim == 3:
         B, H, W = f.shape
-        idx = jnp.arange(B, dtype=jnp.int32)[:, None, None] * (H * W) + ix * W + iy
-        return jnp.take(f.reshape(-1), idx.reshape(-1)).reshape(ix.shape)
-    B, C, H, W = f.shape
-    base = (
-        jnp.arange(B, dtype=jnp.int32)[:, None, None, None] * (C * H * W)
-        + jnp.arange(C, dtype=jnp.int32)[None, :, None, None] * (H * W)
-    )
-    idx = base + (ix[:, None] * W + iy[:, None])
-    return jnp.take(f.reshape(-1), idx.reshape(-1)).reshape(idx.shape)
+        rows = jnp.arange(B, dtype=jnp.int32)[:, None, None] * H + ix
+        return f.reshape(B * H, W)[rows, iy]
+    C, B, H, W = f.shape
+    rows = jnp.arange(B, dtype=jnp.int32)[:, None, None] * H + ix
+    # channel stays a leading offset dim exactly like the unbatched
+    # f[..., ix, iy]: one index pair fetches all C channels
+    return f.reshape(C, B * H, W)[:, rows, iy]
 
 
 def bilinear_sample_reflect_batch(f: Array, x: Array, y: Array) -> Array:
     """Batched :func:`bilinear_sample_reflect`: per-element fractional
-    coordinates over a leading batch axis, executed as flat 1-D gathers.
+    coordinates over a batch axis, executed as row-folded plain gathers
+    (see :func:`_gather2d_rowfold_batch`).
 
     ``f``: (B, H, W) or (B, C, H, W); ``x``/``y``: (B, h, w) floats.
-    Returns (B, h, w) or (B, C, h, w).
+    Returns (B, h, w) or (B, C, h, w). For the 4-D case prefer
+    :func:`bilinear_sample_reflect_cbatch` with a natively channel-first
+    (C, B, H, W) operand — this wrapper pays a (B,C)->(C,B) transpose.
+    """
+    if f.ndim == 4:
+        out = bilinear_sample_reflect_cbatch(jnp.moveaxis(f, 1, 0), x, y)
+        return jnp.moveaxis(out, 0, 1)
+    H, W = f.shape[-2], f.shape[-1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    tx = (x - x0).astype(f.dtype)
+    ty = (y - y0).astype(f.dtype)
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    xa = _reflect101_index(x0i, H)
+    xb = _reflect101_index(x0i + 1, H)
+    ya = _reflect101_index(y0i, W)
+    yb = _reflect101_index(y0i + 1, W)
+    f00 = _gather2d_rowfold_batch(f, xa, ya)
+    f01 = _gather2d_rowfold_batch(f, xa, yb)
+    f10 = _gather2d_rowfold_batch(f, xb, ya)
+    f11 = _gather2d_rowfold_batch(f, xb, yb)
+    return (
+        f00 * (1 - tx) * (1 - ty)
+        + f01 * (1 - tx) * ty
+        + f10 * tx * (1 - ty)
+        + f11 * tx * ty
+    )
+
+
+def bilinear_sample_reflect_cbatch(f: Array, x: Array, y: Array) -> Array:
+    """Channel-first batched bilinear sampling: ``f`` (C, B, H, W),
+    ``x``/``y`` (B, h, w) -> (C, B, h, w).
+
+    One index pair fetches all C channels (channel is a gather offset dim,
+    exactly like the fast unbatched ``f[..., ix, iy]``) — callers that
+    build their channel stacks with ``jnp.stack(..., axis=0)`` avoid any
+    transpose.
     """
     H, W = f.shape[-2], f.shape[-1]
     x0 = jnp.floor(x)
@@ -141,12 +185,10 @@ def bilinear_sample_reflect_batch(f: Array, x: Array, y: Array) -> Array:
     xb = _reflect101_index(x0i + 1, H)
     ya = _reflect101_index(y0i, W)
     yb = _reflect101_index(y0i + 1, W)
-    f00 = _gather2d_flat_batch(f, xa, ya)
-    f01 = _gather2d_flat_batch(f, xa, yb)
-    f10 = _gather2d_flat_batch(f, xb, ya)
-    f11 = _gather2d_flat_batch(f, xb, yb)
-    if f.ndim == 4:
-        tx, ty = tx[:, None], ty[:, None]
+    f00 = _gather2d_rowfold_batch(f, xa, ya)
+    f01 = _gather2d_rowfold_batch(f, xa, yb)
+    f10 = _gather2d_rowfold_batch(f, xb, ya)
+    f11 = _gather2d_rowfold_batch(f, xb, yb)
     return (
         f00 * (1 - tx) * (1 - ty)
         + f01 * (1 - tx) * ty

@@ -38,7 +38,10 @@ from pdx.ops.filters import gaussian_filter_reflect
 from pdx.ops.metrics import regression_metrics
 from pdx.ops.linalg import gram_stats
 from pdx.register.phasecorr import stabilize_translation_sequence
-from pdx.register.farneback import farneback_register_sequence
+from pdx.register.farneback import (
+    auto_register_mode as _auto_register_mode,
+    farneback_register_sequence,
+)
 from pdx.solve.stridge import stridge_from_stats
 from pdx.solve.robust import robust_stridge
 from pdx.validate.holdout import split_time
@@ -126,11 +129,15 @@ class AnalyzeConfig:
     # (analyze_results.py:229-242) — T-1 chained pyramid dispatches; forced
     # when reference_compat_warp=True (composition is meaningless under the
     # x - flow warp bug). "to_first": direct anchored estimation vs frame 0.
-    # "auto": compose on accelerators (dispatch-latency-bound: T-1 chained
-    # pyramids cost ~187 ms each through the tunnel), chain on CPU (a 1-core
-    # host is bandwidth-bound: the batched (T-1, H, W) pyramid thrashes what
-    # the frame-at-a-time chain keeps cache-resident — measured 133 s vs
-    # 100-115 s warm on the 51-frame synth stack).
+    # "auto": currently CHAIN on every backend — chip A/B
+    # (battery_20260817T192554Z/flow_bench.json) measured the chain at
+    # 7.3 s for 50 512x640 flows vs 25.9-56.7 s for the batched compose
+    # pyramid at any chunk size (the flat-gather lowering was the culprit;
+    # PDX_REGISTER_AUTO=compose re-enables compose-on-accelerator for
+    # re-measurement after the row-folded gather rewrite). CPU was always
+    # chain (a 1-core host is bandwidth-bound: the batched (T-1, H, W)
+    # pyramid thrashes what the frame-at-a-time chain keeps cache-resident —
+    # measured 133 s vs 100-115 s warm on the 51-frame synth stack).
     register_mode: str = "auto"  # auto | compose | chain | to_first
     # extension: add the 25-term 4th-order library (notebook 02) as Model 7
     include_fourth_order: bool = False
@@ -172,9 +179,7 @@ def preprocess(cfg: AnalyzeConfig, U_raw: np.ndarray, timer=None) -> jnp.ndarray
         with st("registration"):
             mode = "chain" if cfg.reference_compat_warp else cfg.register_mode
             if mode == "auto":
-                import jax
-
-                mode = "chain" if jax.default_backend() == "cpu" else "compose"
+                mode = _auto_register_mode()
             if mode == "chain":
                 U = sync(farneback_register_sequence(
                     U, warp_sign=-1.0 if cfg.reference_compat_warp else 1.0

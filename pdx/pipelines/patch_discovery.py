@@ -143,9 +143,9 @@ def run(cfg: PatchDiscoveryConfig, U_raw: np.ndarray | None = None) -> dict[str,
     if cfg.registration:
         mode = "chain" if cfg.reference_compat_warp else cfg.register_mode
         if mode == "auto":
-            import jax
+            from pdx.register.farneback import auto_register_mode
 
-            mode = "chain" if jax.default_backend() == "cpu" else "compose"
+            mode = auto_register_mode()
         if mode == "chain":
             U = farneback_register_sequence(U, warp_sign=-1.0 if cfg.reference_compat_warp else 1.0)
         else:

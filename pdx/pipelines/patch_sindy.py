@@ -61,7 +61,7 @@ class PatchSindyConfig:
     # batch the patch axis of the per-patch flows: one program per time step
     # covering every patch (T-1 dispatches) instead of P*(T-1) chained
     # single-patch flows; identical math per patch (flat-gather formulation,
-    # see ops/interp.py::_gather2d_flat_batch)
+    # see ops/interp.py::_gather2d_rowfold_batch)
     flow_batch: bool = True
     # batch the TIME axis too: all P*(T-1) pairwise flows as ONE flat-gather
     # pyramid program, per-patch cumulative composition to to-first flows
@@ -240,32 +240,23 @@ def _flow_warp_step_all_patches(seqs, prev, t):
 
 
 @jax.jit
-def _flow_register_compose_all(seqs):
-    """Per-patch registration with BOTH the patch and time axes batched.
-
-    All P*(T-1) consecutive-pair flows run as ONE flat-gather pyramid
-    program, per-patch composition turns them into to-first flows
-    (farneback.compose_flow_chain), and one batched warp registers every
-    frame — ~3 device programs total vs the T-1 chained dispatches of
-    _flow_warp_step_all_patches (which itself replaced the reference's
-    P*(T-1) chained cv2 calls, patch_based_sindy.py:171-221).
-
-    Quality per patch: mean_t 1/(1 + mean|flow_t|) over the raw pairwise
-    flows (the chain uses the warped-prev incremental flow — same scale,
-    same meaning: residual inter-frame motion).
-    """
-    from pdx.register.farneback import farneback_flow, compose_flow_chain
-    from pdx.ops.interp import warp_flow_batch
-
+def _compose_all_prep(seqs):
+    """Flatten (P, T, ph, pw) into the P*(T-1) consecutive-pair operands."""
     P, T, ph, pw = seqs.shape
     f32 = jnp.float32 if seqs.dtype == jnp.float64 else seqs.dtype
     Sf = seqs.astype(f32)
-    prev = Sf[:, :-1].reshape(P * (T - 1), ph, pw)
-    cur = Sf[:, 1:].reshape(P * (T - 1), ph, pw)
-    fx, fy = farneback_flow(
-        prev, cur, levels=3, winsize=15, iterations=5,
-        poly_n=7, poly_sigma=1.5, gaussian_win=False, batched=True,
+    return (
+        Sf[:, :-1].reshape(P * (T - 1), ph, pw),
+        Sf[:, 1:].reshape(P * (T - 1), ph, pw),
     )
+
+
+@jax.jit
+def _compose_all_finish(seqs, fx, fy):
+    from pdx.register.farneback import compose_flow_chain
+    from pdx.ops.interp import warp_flow_batch
+
+    P, T, ph, pw = seqs.shape
     mag = jnp.sqrt(fx**2 + fy**2).reshape(P, T - 1, ph, pw)
     q = jnp.mean(
         1.0 / (jnp.mean(mag, axis=(-2, -1)) + 1.0), axis=1
@@ -279,6 +270,33 @@ def _flow_register_compose_all(seqs):
         Fy.reshape(P * (T - 1), ph, pw).astype(seqs.dtype),
     ).reshape(P, T - 1, ph, pw)
     return jnp.concatenate([seqs[:, :1], warped], axis=1), q
+
+
+def _flow_register_compose_all(seqs):
+    """Per-patch registration with BOTH the patch and time axes batched.
+
+    All P*(T-1) consecutive-pair flows run as CHUNKED flat-gather pyramid
+    programs (farneback.batched_pair_flows — the one-giant-program version
+    asked for 27.5 GB of HBM temps at the default patch grid and OOMed the
+    16 GB v5e, battery_20260817T182926Z), per-patch composition turns them
+    into to-first flows (farneback.compose_flow_chain), and one batched warp
+    registers every frame — a handful of device programs vs the T-1 chained
+    dispatches of _flow_warp_step_all_patches (which itself replaced the
+    reference's P*(T-1) chained cv2 calls, patch_based_sindy.py:171-221).
+
+    Quality per patch: mean_t 1/(1 + mean|flow_t|) over the raw pairwise
+    flows (the chain uses the warped-prev incremental flow — same scale,
+    same meaning: residual inter-frame motion).
+    """
+    from pdx.register.farneback import batched_pair_flows
+
+    prev, cur = _compose_all_prep(seqs)
+    flow_static = (
+        ("gaussian_win", False), ("iterations", 5), ("levels", 3),
+        ("poly_n", 7), ("poly_sigma", 1.5), ("winsize", 15),
+    )
+    fx, fy = batched_pair_flows(prev, cur, flow_static=flow_static)
+    return _compose_all_finish(seqs, fx, fy)
 
 
 @jax.jit

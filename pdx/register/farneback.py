@@ -40,7 +40,7 @@ from jax import Array
 
 from pdx.ops.interp import (
     bilinear_sample_reflect,
-    bilinear_sample_reflect_batch,
+    bilinear_sample_reflect_cbatch,
     resize_bilinear,
     warp_flow,
     warp_flow_batch,
@@ -156,7 +156,7 @@ def _flow_iteration(exp1, exp2, flow, winsize, gaussian_win, batched=False):
 
     ``batched=True``: all fields carry a leading batch axis (independent
     frame pairs, e.g. a patch grid) and the expansion fetch runs as a flat
-    1-D gather (``bilinear_sample_reflect_batch``) — the vmap-style gather
+    row-folded gather (``bilinear_sample_reflect_cbatch``) — the vmap-style gather
     with batching dimensions is the op XLA:TPU lowers 100-400x slower.
     """
     _c1, b1x, b1y, a1xx, a1yy, a1xy = exp1
@@ -172,11 +172,16 @@ def _flow_iteration(exp1, exp2, flow, winsize, gaussian_win, batched=False):
     # ONE batched gather for the five expansion-fetch fields: TPU gather cost
     # is index-arithmetic-bound, so five separate 512^2 fetches cost ~61 ms
     # where one (5, H, W) fetch costs ~13 ms (measured on v5e)
-    stack5 = jnp.stack([a2xx, a2yy, a2xy, b2x, b2y], axis=-3)
     if batched:
-        fetched = bilinear_sample_reflect_batch(stack5, xr, xc)
-        f_axx, f_ayy, f_axy, f_b2x, f_b2y = jnp.moveaxis(fetched, -3, 0)
+        # channel-FIRST stack (5, B, H, W): the row-folded gather then has
+        # the exact structure of the fast unbatched f[..., ix, iy] path —
+        # channel as offset dim, no transpose (interp.py notes)
+        stack5 = jnp.stack([a2xx, a2yy, a2xy, b2x, b2y], axis=0)
+        f_axx, f_ayy, f_axy, f_b2x, f_b2y = bilinear_sample_reflect_cbatch(
+            stack5, xr, xc
+        )
     else:
+        stack5 = jnp.stack([a2xx, a2yy, a2xy, b2x, b2y], axis=-3)
         f_axx, f_ayy, f_axy, f_b2x, f_b2y = bilinear_sample_reflect(stack5, xr, xc)
     A_xx = 0.5 * (a1xx + f_axx)
     A_yy = 0.5 * (a1yy + f_ayy)
@@ -399,16 +404,92 @@ def _smooth_warp(mov, fx, fy, sign, ksize: int, sigma: float):
     return warp_flow(mov, sign * fs[0], sign * fs[1], border="reflect")
 
 
+def auto_register_mode() -> str:
+    """Resolve register_mode='auto' (analyze / patch-discovery pipelines).
+
+    Chain on every backend, from measured data: chip A/B
+    (battery_20260817T192554Z/flow_bench.json) put the sequential chain at
+    7.3 s for 50 512x640 flows vs 25.9-56.7 s for the batched compose
+    pyramid at ANY chunk size with the flat-gather lowering; CPU was always
+    chain (single-core cache locality). PDX_REGISTER_AUTO=compose flips the
+    policy for re-measurement (e.g. after the row-folded gather rewrite).
+    """
+    import os
+
+    return os.environ.get("PDX_REGISTER_AUTO", "chain")
+
+
+def _flow_chunk_elems() -> int:
+    """Max B*H*W pixel-pairs per batched pyramid program.
+
+    The flat-gather pyramid needs ~70 f32 of HLO temp per pixel per pair
+    (measured: a 1500-pair 256^2 program asked for 27.5 GB of HBM temps on
+    a 16 GB v5e — OOM, battery_20260817T182926Z). Chunking the independent
+    pair axis bounds the working set: at the default 2^22 px-pairs a chunk's
+    temps stay ~1.2 GB, small enough to keep XLA off the spill/transpose-copy
+    paths that made the one-giant-program formulation SLOWER than the
+    per-frame dispatch chain on chip (transport 16.7 s -> 48.5 s). Override
+    with PDX_FLOW_CHUNK_ELEMS (tools/flow_bench.py sweeps it on the chip).
+    """
+    import os
+
+    return int(os.environ.get("PDX_FLOW_CHUNK_ELEMS", str(1 << 22)))
+
+
+@partial(jax.jit, static_argnames=("chunk", "flow_static"))
+def _pairs_flow_chunk(a_all, b_all, start, *, chunk: int, flow_static):
+    a = jax.lax.dynamic_slice_in_dim(a_all, start, chunk, axis=0)
+    b = jax.lax.dynamic_slice_in_dim(b_all, start, chunk, axis=0)
+    return farneback_flow(a, b, batched=True, **dict(flow_static))
+
+
+@partial(jax.jit, static_argnames=("keep",))
+def _assemble_chunks(keep: int, *xs):
+    """Concatenate chunk outputs, taking only the last ``keep`` rows of the
+    final (overlapping) chunk — one compiled program, static slice."""
+    if len(xs) == 1:
+        return xs[0][xs[0].shape[0] - keep :]
+    return jnp.concatenate(xs[:-1] + (xs[-1][xs[-1].shape[0] - keep :],), axis=0)
+
+
+def batched_pair_flows(
+    a_all: Array, b_all: Array, *, flow_static, chunk_elems: int | None = None
+) -> tuple[Array, Array]:
+    """Flows for B independent pairs (a_all[i] -> b_all[i]), chunked.
+
+    Every chunk is the SAME compiled (chunk, H, W) program — the tail chunk
+    re-reads overlapping rows (frame selection by lax.dynamic_slice inside
+    the program) instead of forcing a second compile at a ragged shape.
+    """
+    B, H, W = a_all.shape[-3], a_all.shape[-2], a_all.shape[-1]
+    if chunk_elems is None:
+        chunk_elems = _flow_chunk_elems()
+    chunk = max(1, min(B, chunk_elems // (H * W)))
+    starts = list(range(0, B, chunk))
+    if starts[-1] + chunk > B:
+        starts[-1] = B - chunk
+    outs = [
+        _pairs_flow_chunk(a_all, b_all, s, chunk=chunk, flow_static=flow_static)
+        for s in starts
+    ]
+    keep = B - (len(starts) - 1) * chunk
+    return (
+        _assemble_chunks(keep, *[o[0] for o in outs]),
+        _assemble_chunks(keep, *[o[1] for o in outs]),
+    )
+
+
 def farneback_flow_pairs(U: Array, *, pair_batch: bool = True, **flow_kwargs) -> tuple[Array, Array]:
     """Flow for every consecutive frame pair (transport pipeline,
     transport_pde_discovery.py:46-83).
 
-    Pairs are independent: the default runs ALL of them as ONE
-    flat-gather-batched pyramid program (``batched=True`` — the vmap-style
-    gather with batching dimensions that made the original vmapped pyramid
-    ~400x slower on TPU is replaced by a single 1-D take, see
-    ops/interp.py::_gather2d_flat_batch). ``pair_batch=False`` keeps the
-    legacy per-pair jitted dispatch chain for A/B timing."""
+    Pairs are independent: the default runs them as flat-gather-batched
+    pyramid programs (``batched=True`` — the vmap-style gather with batching
+    dimensions that made the original vmapped pyramid ~400x slower on TPU is
+    replaced by a plain row-folded gather, see ops/interp.py::_gather2d_rowfold_batch),
+    chunked to bound HBM temps (:func:`batched_pair_flows`).
+    ``pair_batch=False`` keeps the legacy per-pair jitted dispatch chain for
+    A/B timing."""
     if pair_batch:
         return _pair_flows_batched(U, flow_static=tuple(sorted(flow_kwargs.items())))
     flow_static = tuple(sorted(flow_kwargs.items()))
@@ -420,9 +501,14 @@ def farneback_flow_pairs(U: Array, *, pair_batch: bool = True, **flow_kwargs) ->
     return fx, fy
 
 
-@partial(jax.jit, static_argnames=("flow_static",))
+@jax.jit
+def _seq_pairs(U):
+    return U[:-1], U[1:]
+
+
 def _pair_flows_batched(U, *, flow_static):
-    return farneback_flow(U[:-1], U[1:], batched=True, **dict(flow_static))
+    a, b = _seq_pairs(U)
+    return batched_pair_flows(a, b, flow_static=flow_static)
 
 
 @partial(jax.jit, static_argnames=("flow_static",))
@@ -460,10 +546,10 @@ def compose_flow_chain(fx: Array, fy: Array, *, batched: bool = False) -> tuple[
         Fx, Fy = F
         fxi, fyi = f
         if batched:
-            s = bilinear_sample_reflect_batch(
-                jnp.stack([fxi, fyi], axis=1), r + Fx, c + Fy
-            )  # (P, 2, H, W)
-            Fx2, Fy2 = Fx + s[:, 0], Fy + s[:, 1]
+            s = bilinear_sample_reflect_cbatch(
+                jnp.stack([fxi, fyi], axis=0), r + Fx, c + Fy
+            )  # (2, P, H, W)
+            Fx2, Fy2 = Fx + s[0], Fy + s[1]
         else:
             s = bilinear_sample_reflect(jnp.stack([fxi, fyi]), r + Fx, c + Fy)
             Fx2, Fy2 = Fx + s[0], Fy + s[1]
@@ -519,18 +605,29 @@ def farneback_register_sequence_compose(
     )
 
 
-@partial(jax.jit, static_argnames=("ksize", "sigma", "flow_static", "to_first"))
-def _register_compose_impl(U, *, ksize: int, sigma: float, flow_static, to_first: bool):
+@partial(jax.jit, static_argnames=("to_first",))
+def _compose_pairs(U, *, to_first: bool):
     f32 = jnp.float32 if U.dtype == jnp.float64 else U.dtype
     Uf = U.astype(f32)
     if to_first:
-        ref = jnp.broadcast_to(Uf[0], Uf[1:].shape)
-        fx, fy = farneback_flow(ref, Uf[1:], batched=True, **dict(flow_static))
-    else:
-        fx, fy = farneback_flow(Uf[:-1], Uf[1:], batched=True, **dict(flow_static))
+        return jnp.broadcast_to(Uf[0], Uf[1:].shape), Uf[1:]
+    return Uf[:-1], Uf[1:]
+
+
+@partial(jax.jit, static_argnames=("ksize", "sigma", "to_first"))
+def _compose_finish(U, fx, fy, *, ksize: int, sigma: float, to_first: bool):
     sm = _blur(jnp.stack([fx, fy], axis=1), ksize, sigma, True)  # (T-1, 2, H, W)
     fx, fy = sm[:, 0], sm[:, 1]
     if not to_first:
         fx, fy = compose_flow_chain(fx, fy)
     warped = warp_flow_batch(U[1:], fx.astype(U.dtype), fy.astype(U.dtype))
     return jnp.concatenate([U[:1], warped], axis=0)
+
+
+def _register_compose_impl(U, *, ksize: int, sigma: float, flow_static, to_first: bool):
+    # pairwise flows run CHUNKED (batched_pair_flows): the single giant
+    # program OOMed at patch scale and was measurably slower than the
+    # dispatch chain at analyze scale — see _flow_chunk_elems
+    a, b = _compose_pairs(U, to_first=to_first)
+    fx, fy = batched_pair_flows(a, b, flow_static=flow_static)
+    return _compose_finish(U, fx, fy, ksize=ksize, sigma=sigma, to_first=to_first)

@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
-from pdx.register.farneback import farneback_flow
+from pdx.register.farneback import _seq_pairs, batched_pair_flows
 
 
 def mean_flow_magnitude(U: Array, **flow_kwargs) -> Array:
@@ -24,18 +24,16 @@ def mean_flow_magnitude(U: Array, **flow_kwargs) -> Array:
     kwargs = dict(pyr_scale=0.5, levels=3, winsize=15, iterations=3, poly_n=5, poly_sigma=1.2, gaussian_win=False)
     kwargs.update(flow_kwargs)
     flow_static = tuple(sorted(kwargs.items()))
-    # ONE flat-gather-batched pyramid program for every consecutive pair
-    # (ops/interp.py::_gather2d_flat_batch replaces the vmap-style batched
-    # gather that lowered pathologically on TPU)
-    return _all_pair_mag(U, flow_static=flow_static)
+    # flat-gather-batched pyramid programs, chunked to bound HBM temps
+    # (farneback.batched_pair_flows; the vmap-style batched gather lowered
+    # pathologically on TPU, the one-giant-program form spilled)
+    a, b = _seq_pairs(U)
+    fx, fy = batched_pair_flows(a, b, flow_static=flow_static)
+    return _mag_mean(fx, fy)
 
 
-from functools import partial as _partial
-
-
-@_partial(jax.jit, static_argnames=("flow_static",))
-def _all_pair_mag(U, *, flow_static):
-    fx, fy = farneback_flow(U[:-1], U[1:], batched=True, **dict(flow_static))
+@jax.jit
+def _mag_mean(fx, fy):
     return jnp.mean(jnp.sqrt(fx**2 + fy**2))
 
 

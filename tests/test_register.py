@@ -267,6 +267,26 @@ class TestBatchedPairFlows:
         np.testing.assert_allclose(np.asarray(fb_x), np.asarray(fs_x), rtol=1e-8, atol=1e-10)
         np.testing.assert_allclose(np.asarray(fb_y), np.asarray(fs_y), rtol=1e-8, atol=1e-10)
 
+    def test_chunked_matches_single_program(self):
+        """batched_pair_flows with a chunk_elems that forces multiple chunks
+        (incl. an overlapping ragged tail) == one single-program batch. The
+        chunking exists to bound HBM temps on chip (the 1500-pair patch grid
+        OOMed a 16 GB v5e as one program, battery_20260817T182926Z)."""
+        from pdx.register.farneback import batched_pair_flows
+
+        base = smooth_field(n=48, sigma=4, seed=21)
+        rng = np.random.default_rng(22)
+        A = np.stack([ndshift(base, rng.uniform(-1, 1, 2), mode="reflect") for _ in range(5)])
+        B = np.stack([ndshift(base, rng.uniform(-1, 1, 2), mode="reflect") for _ in range(5)])
+        A, B = jnp.asarray(A), jnp.asarray(B)
+        fs = (("gaussian_win", False), ("iterations", 3), ("levels", 2),
+              ("poly_n", 5), ("poly_sigma", 1.2), ("winsize", 11))
+        one_x, one_y = batched_pair_flows(A, B, flow_static=fs, chunk_elems=10**9)
+        # chunk=2 -> starts [0, 2, 3]: two full chunks + overlapping tail
+        chk_x, chk_y = batched_pair_flows(A, B, flow_static=fs, chunk_elems=2 * 48 * 48)
+        np.testing.assert_allclose(np.asarray(chk_x), np.asarray(one_x), rtol=1e-8, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(chk_y), np.asarray(one_y), rtol=1e-8, atol=1e-12)
+
     def test_batched_flow_matches_single(self):
         """farneback_flow(batched=True) over a batch == per-pair single calls
         (the flat-gather formulation changes dispatch, not math)."""

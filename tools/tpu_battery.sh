@@ -22,7 +22,7 @@ mkdir -p "$DIR" outputs
 STATUS="$DIR/STATUS"
 : > "$STATUS"
 FAILED=""
-ALL_SECTIONS="bench comprehensive real_bench pallas mesh_scaling"
+ALL_SECTIONS="bench comprehensive real_bench pallas mesh_scaling gather_bench flow_bench"
 SECTIONS="${SECTIONS:-$ALL_SECTIONS}"
 DONE_FILE="outputs/battery_sections_done.txt"
 
@@ -95,7 +95,7 @@ note "battery $STAMP start"
 #    Skipped entirely when only CPU sections are wanted (mesh_scaling can be
 #    pre-recorded without spending a healthy-tunnel window on it).
 needs_tpu=""
-for s in bench comprehensive real_bench pallas; do want "$s" && needs_tpu=1; done
+for s in bench comprehensive real_bench pallas gather_bench flow_bench; do want "$s" && needs_tpu=1; done
 if [ -z "$needs_tpu" ]; then
   note "probe skipped (CPU-only sections: $SECTIONS)"
 else
@@ -168,6 +168,18 @@ want real_bench && abort_if_wedged real_bench && run_section real_bench 3600 pyt
 #    fused pointwise and blockwise Gram kernels (stamped record of the 8.9x /
 #    12x claims in docs/RESULTS.md)
 want pallas && abort_if_wedged pallas && run_section pallas 1200 python tools/tpu_checks.py "$DIR/pallas.json"
+
+# 4a. batched-gather formulation microbench (flat take / row-fold /
+#     channel-last / unrolled) — the primitive-level data behind flow_bench
+want gather_bench && abort_if_wedged gather_bench && run_section gather_bench 900 python tools/gather_bench.py \
+  --out "$DIR/gather_bench.json"
+
+# 4b. registration-formulation A/B (chain vs chunked compose, both
+#     production shapes) — decides register_mode / PDX_FLOW_CHUNK_ELEMS
+#     defaults from chip data (the 18:29Z battery showed the one-giant-
+#     program compose REGRESSING vs the chain; see tools/flow_bench.py)
+want flow_bench && abort_if_wedged flow_bench && run_section flow_bench 1500 python tools/flow_bench.py \
+  --out "$DIR/flow_bench.json"
 
 # 5. virtual-mesh scaling curve (CPU — cheap, but record it alongside)
 want mesh_scaling && run_section mesh_scaling 1200 python tools/mesh_scaling.py \
