@@ -240,6 +240,35 @@ def _flow_warp_step_all_patches(seqs, prev, t):
 
 
 @jax.jit
+def _flow_register_chain_scan_all(seqs):
+    """Per-patch warp-to-previous chain: patch axis batched (row-fold
+    gathers), time axis folded into lax.scan — the whole P*(T-1) chain as
+    ONE device program. Same per-step math as _flow_warp_step_all_patches
+    (the scan body is that step; only the dispatch structure changes — the
+    100-400x TPU gather slowdown afflicts vmap batching dims, not scan)."""
+    from pdx.register.farneback import farneback_flow
+    from pdx.ops.interp import warp_flow_batch
+
+    f32 = jnp.float32 if seqs.dtype == jnp.float64 else seqs.dtype
+    xs = jnp.moveaxis(seqs[:, 1:], 1, 0)  # (T-1, P, ph, pw)
+
+    def step(prev, cur):
+        fx, fy = farneback_flow(
+            prev.astype(f32), cur.astype(f32), levels=3, winsize=15,
+            iterations=5, poly_n=7, poly_sigma=1.5, gaussian_win=False,
+            batched=True,
+        )
+        fx, fy = fx.astype(seqs.dtype), fy.astype(seqs.dtype)
+        warped = warp_flow_batch(cur, fx, fy)
+        q = 1.0 / (jnp.mean(jnp.sqrt(fx**2 + fy**2), axis=(-2, -1)) + 1.0)
+        return warped, (warped, q)
+
+    _, (frames, qs) = jax.lax.scan(step, seqs[:, 0], xs)
+    seq = jnp.concatenate([seqs[:, :1], jnp.moveaxis(frames, 0, 1)], axis=1)
+    return seq, jnp.mean(qs, axis=0)
+
+
+@jax.jit
 def _compose_all_prep(seqs):
     """Flatten (P, T, ph, pw) into the P*(T-1) consecutive-pair operands."""
     P, T, ph, pw = seqs.shape
@@ -385,18 +414,25 @@ def run(cfg: PatchSindyConfig, U_raw: np.ndarray | None = None) -> dict[str, Any
     elif cfg.registration_method == "optical_flow" and cfg.flow_batch:
         # per-patch warp-to-previous Farnebäck, quality = 1/(1 + mean |flow|)
         # (patch_based_sindy.py:198-221). The patch axis is batched: each
-        # time step runs ONE (P, ps, ps) flat-gather Farnebäck program for
-        # every patch — T-1 dispatches total instead of the P*(T-1) chained
-        # single-patch flows of the reference structure; only the temporal
-        # warp-to-previous dependency stays sequential.
-        T_seq = int(seqs.shape[1])
-        prev = _first_frames(seqs)
-        frames, qs = [], []
-        for t in range(1, T_seq):
-            prev, q = _flow_warp_step_all_patches(seqs, prev, t)
-            frames.append(prev)
-            qs.append(q)
-        seqs, qualities = _assemble_time(_first_frames(seqs), frames, qs)
+        # time step runs ONE (P, ps, ps) row-fold-gather Farnebäck program
+        # for every patch — T-1 dispatches total instead of the P*(T-1)
+        # chained single-patch flows of the reference structure; only the
+        # temporal warp-to-previous dependency stays sequential. With
+        # PDX_CHAIN_IMPL=scan the T-1 steps fold into ONE lax.scan program
+        # (identical math, pinned in tests/test_real_pipelines.py).
+        import os as _os
+
+        if _os.environ.get("PDX_CHAIN_IMPL") == "scan":
+            seqs, qualities = _flow_register_chain_scan_all(seqs)
+        else:
+            T_seq = int(seqs.shape[1])
+            prev = _first_frames(seqs)
+            frames, qs = [], []
+            for t in range(1, T_seq):
+                prev, q = _flow_warp_step_all_patches(seqs, prev, t)
+                frames.append(prev)
+                qs.append(q)
+            seqs, qualities = _assemble_time(_first_frames(seqs), frames, qs)
     elif cfg.registration_method == "optical_flow":
         # legacy dispatch structure (flow_batch=False): host-chained jitted
         # single-patch flows — kept for A/B measurement on the tunnel

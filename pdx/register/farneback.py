@@ -31,6 +31,7 @@ translations (sub-0.1 px agreement) and on registration-quality metrics.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import numpy as np
@@ -352,7 +353,21 @@ def farneback_register_sequence(
 
     sign = jnp.asarray(warp_sign, U.dtype)
     flow_kwargs.setdefault("refine", 1)
+    chain_impl = flow_kwargs.pop("chain_impl", None) or os.environ.get(
+        "PDX_CHAIN_IMPL", "steps"
+    )
     flow_static = tuple(sorted(flow_kwargs.items()))
+    if chain_impl == "scan":
+        # identical per-step math folded into ONE device program via
+        # lax.scan: the body is a single-example pyramid (plain gathers —
+        # the 100-400x TPU slowdown afflicts vmap BATCHING-DIM gathers, not
+        # scan), so this trades T-1 tunnel dispatches (~30 ms each in the
+        # post-first-read slow mode) for one. Parity with the per-step
+        # chain is pinned in tests/test_register.py.
+        return _register_chain_scan(
+            U, sign,
+            ksize=flow_smooth_ksize, sigma=flow_smooth_sigma, flow_static=flow_static,
+        )
     ref = _first_frame(U)
     out = [ref]
     for i in range(1, U.shape[0]):
@@ -366,6 +381,26 @@ def farneback_register_sequence(
         )
         out.append(ref)
     return stack_frames(*out)
+
+
+@partial(jax.jit, static_argnames=("ksize", "sigma", "flow_static"))
+def _register_chain_scan(U, sign, *, ksize: int, sigma: float, flow_static):
+    """Whole warp-to-previous chain as one lax.scan program.
+
+    Same math as the _register_step loop (flow in f32, smoothed, warped in
+    the pipeline dtype); the sequential dependency rides the scan carry
+    (previous REGISTERED frame) instead of the host loop."""
+    f32 = jnp.float32 if U.dtype == jnp.float64 else U.dtype
+    kw = dict(flow_static)
+
+    def step(ref, cur):
+        fx, fy = farneback_flow(ref.astype(f32), cur.astype(f32), **kw)
+        fs = _blur(jnp.stack([fx, fy]), ksize, sigma, True).astype(U.dtype)
+        warped = warp_flow(cur, sign * fs[0], sign * fs[1], border="reflect")
+        return warped, warped
+
+    _, out = jax.lax.scan(step, U[0], U[1:])
+    return jnp.concatenate([U[:1], out], axis=0)
 
 
 @jax.jit

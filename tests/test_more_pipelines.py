@@ -209,6 +209,28 @@ class TestPatchSindy:
         np.testing.assert_allclose(r_bat["coeffs"], r_seq["coeffs"], rtol=1e-4, atol=1e-6)
         assert abs(r_bat["avg_quality"] - r_seq["avg_quality"]) < 1e-5
 
+    def test_flow_chain_scan_matches_stepped(self, tiff_dir, tmp_path, monkeypatch):
+        """PDX_CHAIN_IMPL=scan folds the T-1 per-time-step chain dispatches
+        into ONE lax.scan program — same per-step math, so the pipeline
+        output must match the stepped chain to f32 accumulation noise."""
+        from pdx.pipelines.patch_sindy import PatchSindyConfig, run
+
+        common = dict(
+            data_dir=str(tiff_dir), output_dir=str(tmp_path), max_images=5,
+            patch_size=48, overlap=0, skip_boundary=3, subsample=2,
+            min_patches=2, registration_method="optical_flow",
+            flow_scope="patch", max_patches=3, write_artifacts=False,
+            flow_compose=False, flow_batch=True,
+        )
+        r_step = run(PatchSindyConfig(**common))
+        monkeypatch.setenv("PDX_CHAIN_IMPL", "scan")
+        r_scan = run(PatchSindyConfig(**common))
+        np.testing.assert_allclose(
+            r_scan["patch_coeffs"], r_step["patch_coeffs"], rtol=1e-4, atol=1e-6
+        )
+        np.testing.assert_allclose(r_scan["coeffs"], r_step["coeffs"], rtol=1e-4, atol=1e-6)
+        assert abs(r_scan["avg_quality"] - r_step["avg_quality"]) < 1e-5
+
     def test_flow_compose_close_to_chain(self, tiff_dir, tmp_path):
         """The one-shot compose path (patch AND time axes batched, ~3 device
         programs) registers to frame 0 via composed pairwise flows instead of

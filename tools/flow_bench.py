@@ -85,6 +85,12 @@ def main() -> None:
 
     an["chain_s"] = timed("chain", lambda: farneback_register_sequence(U), reps=1)
     flush()
+    an["chain_scan_s"] = timed(
+        "chain_scan",
+        lambda: farneback_register_sequence(U, chain_impl="scan"),
+        reps=1,
+    )
+    flush()
     for chunk in (2, 4, 12, 50):
         os.environ["PDX_FLOW_CHUNK_ELEMS"] = str(chunk * 512 * 640)
         an[f"compose_chunk{chunk}_s"] = timed(
@@ -120,6 +126,38 @@ def main() -> None:
         )
         pa[f"chunk{chunk}_ms_per_pair"] = round(pa[f"chunk{chunk}_s"] / B * 1e3, 2)
         flush()
+
+    # ---- patch-scale CHAIN formulations (sequences, not pairs) --------
+    # (P, T) patch sequences: stepped chain (T-1 dispatches, patch-batched)
+    # vs lax.scan chain (ONE program) — the production patch-sindy choices
+    from pdx.pipelines.patch_sindy import (
+        _assemble_time,
+        _first_frames,
+        _flow_register_chain_scan_all,
+        _flow_warp_step_all_patches,
+    )
+
+    P, Tn = 64, 6
+    seqs = jnp.asarray(
+        rng.normal(size=(P, Tn, 256, 256)).astype(np.float32)
+    ) * 0.1 + jnp.asarray(base)[None, None]
+
+    def chain_stepped():
+        prev = _first_frames(seqs)
+        frames, qs = [], []
+        for t in range(1, Tn):
+            prev, q = _flow_warp_step_all_patches(seqs, prev, t)
+            frames.append(prev)
+            qs.append(q)
+        out, _ = _assemble_time(_first_frames(seqs), frames, qs)
+        return out
+
+    pa["chain_stepped_s"] = timed("patch chain stepped", chain_stepped)
+    flush()
+    pa["chain_scan_s"] = timed(
+        "patch chain scan", lambda: _flow_register_chain_scan_all(seqs)[0]
+    )
+    flush()
 
     an["chain_ms_per_flow"] = round(an["chain_s"] / n_pairs * 1e3, 1)
     for chunk in (2, 4, 12, 50):

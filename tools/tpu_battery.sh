@@ -133,6 +133,22 @@ fi
 note "ok probe: $(tail -1 "$DIR/probe.log")"
 fi
 
+# 0a/0b. decision-making microbenches FIRST: they are cheap (<25 min
+#    combined), and their data picks the register_mode / chunk defaults the
+#    long sections then measure — a short healthy window must not be spent
+#    on real_bench before the formulation question is answered
+# 0a. batched-gather formulation microbench (flat take / row-fold /
+#     channel-last / unrolled) — the primitive-level data behind flow_bench
+want gather_bench && abort_if_wedged gather_bench && run_section gather_bench 900 python tools/gather_bench.py \
+  --out "$DIR/gather_bench.json"
+
+# 0b. registration-formulation A/B (chain vs chunked compose, both
+#     production shapes) — decides register_mode / PDX_FLOW_CHUNK_ELEMS
+#     defaults from chip data (the 18:29Z battery showed the one-giant-
+#     program compose REGRESSING vs the chain; see tools/flow_bench.py)
+want flow_bench && abort_if_wedged flow_bench && run_section flow_bench 1500 python tools/flow_bench.py \
+  --out "$DIR/flow_bench.json"
+
 # 1. the driver bench (writes docs/measurements/bench_tpu_<stamp>.json itself)
 #    no-fallback: a wedge must fail in ~90 s, not burn 900 s on a CPU rerun
 want bench && run_section bench 900 env PDX_BENCH_NO_FALLBACK=1 python bench.py
@@ -168,18 +184,6 @@ want real_bench && abort_if_wedged real_bench && run_section real_bench 3600 pyt
 #    fused pointwise and blockwise Gram kernels (stamped record of the 8.9x /
 #    12x claims in docs/RESULTS.md)
 want pallas && abort_if_wedged pallas && run_section pallas 1200 python tools/tpu_checks.py "$DIR/pallas.json"
-
-# 4a. batched-gather formulation microbench (flat take / row-fold /
-#     channel-last / unrolled) — the primitive-level data behind flow_bench
-want gather_bench && abort_if_wedged gather_bench && run_section gather_bench 900 python tools/gather_bench.py \
-  --out "$DIR/gather_bench.json"
-
-# 4b. registration-formulation A/B (chain vs chunked compose, both
-#     production shapes) — decides register_mode / PDX_FLOW_CHUNK_ELEMS
-#     defaults from chip data (the 18:29Z battery showed the one-giant-
-#     program compose REGRESSING vs the chain; see tools/flow_bench.py)
-want flow_bench && abort_if_wedged flow_bench && run_section flow_bench 1500 python tools/flow_bench.py \
-  --out "$DIR/flow_bench.json"
 
 # 5. virtual-mesh scaling curve (CPU — cheap, but record it alongside)
 want mesh_scaling && run_section mesh_scaling 1200 python tools/mesh_scaling.py \
