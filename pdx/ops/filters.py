@@ -82,6 +82,19 @@ def gaussian_filter_reflect(f: Array, sigma: float, truncate: float = 4.0) -> Ar
     if sigma <= 0:
         return f
     radius = int(truncate * sigma + 0.5)
+    from pdx.ops.interp import band_matrix, use_mxu_sep
+
+    if use_mxu_sep():
+        # accelerator lowering: one banded matmul per axis (MXU) — see
+        # interp.band_matrix; the shifted-add sweep below issues 2*radius+1
+        # vector ops per axis (op-count-bound on the VPU)
+        kt = tuple(np.asarray(_gaussian_kernel1d(sigma, radius), np.float64))
+        H, W = f.shape[-2], f.shape[-1]
+        Mh = jnp.asarray(band_matrix(kt, H), f.dtype)
+        Mw = jnp.asarray(band_matrix(kt, W), f.dtype)
+        out = jnp.einsum("hp,...pw->...hw", Mh, f)
+        return jnp.einsum("wv,...hv->...hw", Mw, out)
+
     k = jnp.asarray(_gaussian_kernel1d(sigma, radius), dtype=f.dtype)
 
     def conv_axis(x: Array, axis: int) -> Array:

@@ -14,8 +14,10 @@ translating OpenCV's (col, row) arguments.
 
 from __future__ import annotations
 
-from functools import partial
+import os
+from functools import lru_cache, partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import Array
@@ -24,6 +26,64 @@ from jax import Array
 def _gather2d(f: Array, ix: Array, iy: Array) -> Array:
     """f[..., ix, iy] with integer index arrays broadcast over leading axes."""
     return f[..., ix, iy]
+
+
+# ---------------------------------------------------------------------------
+# Banded-matrix lowering of separable kernels (MXU path)
+#
+# A 1-D correlation with symmetric-reflect padding is a linear map, so it IS
+# an (L, L) banded matrix with the reflection folded into the band ends. On
+# TPU one (L, L) matmul per axis rides the MXU and reads the operand ONCE,
+# where the shifted-add formulation issues `taps` vector ops per axis —
+# op-count-bound on the VPU. On a single-core CPU the opposite holds (the
+# matmul does L x more FLOPs than the adds), so the choice is made at trace
+# time per backend. PDX_SEP_IMPL=banded|shift overrides for A/B and tests.
+# ---------------------------------------------------------------------------
+
+
+def use_mxu_sep() -> bool:
+    """Trace-time policy: lower separable passes as banded matmuls?"""
+    impl = os.environ.get("PDX_SEP_IMPL")
+    if impl:
+        return impl == "banded"
+    return jax.default_backend() != "cpu"
+
+
+def _reflect_sym_np(idx: np.ndarray, L: int) -> np.ndarray:
+    """np.pad(mode='symmetric') index folding, multi-fold for taps > L."""
+    idx = np.asarray(idx).copy()
+    while ((idx < 0) | (idx >= L)).any():
+        idx = np.where(idx < 0, -1 - idx, idx)
+        idx = np.where(idx >= L, 2 * L - 1 - idx, idx)
+    return idx
+
+
+@lru_cache(maxsize=256)
+def band_matrix(kernel: tuple, L: int) -> np.ndarray:
+    """(L, L) matrix M with M @ v == correlate(pad(v, symmetric), kernel)."""
+    k = np.asarray(kernel, np.float64)
+    n = len(k) // 2
+    rows = np.arange(L)
+    M = np.zeros((L, L))
+    for i, kv in enumerate(k):
+        src = _reflect_sym_np(rows + i - n, L)
+        np.add.at(M, (rows, src), kv)
+    return M
+
+
+@lru_cache(maxsize=256)
+def resize_matrix(L: int, out: int) -> np.ndarray:
+    """(out, L) bilinear-resize matrix (cv2 INTER_LINEAR half-pixel centers,
+    edge clamp) — the separable factor of :func:`resize_bilinear`."""
+    s = L / out
+    x = np.clip((np.arange(out) + 0.5) * s - 0.5, 0.0, L - 1.0)
+    x0 = np.floor(x).astype(int)
+    t = x - x0
+    x1 = np.minimum(x0 + 1, L - 1)
+    M = np.zeros((out, L))
+    np.add.at(M, (np.arange(out), x0), 1.0 - t)
+    np.add.at(M, (np.arange(out), x1), t)
+    return M
 
 
 def bilinear_sample_periodic(f: Array, x: Array, y: Array) -> Array:
@@ -301,9 +361,20 @@ def resize_area(f: Array, out_h: int, out_w: int) -> Array:
 
 @partial(jax.jit, static_argnames=("out_h", "out_w"))
 def resize_bilinear(f: Array, out_h: int, out_w: int) -> Array:
-    """cv2.INTER_LINEAR resize semantics (half-pixel centers, edge clamp; jitted)."""
+    """cv2.INTER_LINEAR resize semantics (half-pixel centers, edge clamp; jitted).
+
+    The sampling grid is separable (row coord depends on row only), so the
+    bilinear weights factor exactly into two 1-D interpolation matrices; on
+    accelerators the resize runs as two small matmuls (MXU) instead of four
+    2-D gathers (TPU gathers are index-arithmetic-bound — see use_mxu_sep).
+    """
     H, W = f.shape[-2], f.shape[-1]
     dtype = jnp.result_type(f.dtype, jnp.float32)
+    if use_mxu_sep():
+        Mh = jnp.asarray(resize_matrix(H, out_h), dtype)
+        Mw = jnp.asarray(resize_matrix(W, out_w), dtype)
+        out = jnp.einsum("hp,...pw->...hw", Mh, f.astype(dtype))
+        return jnp.einsum("wv,...hv->...hw", Mw, out)
     sx = H / out_h
     sy = W / out_w
     x = (jnp.arange(out_h, dtype=dtype) + 0.5) * sx - 0.5

@@ -40,9 +40,11 @@ import jax.numpy as jnp
 from jax import Array
 
 from pdx.ops.interp import (
+    band_matrix,
     bilinear_sample_reflect,
     bilinear_sample_reflect_cbatch,
     resize_bilinear,
+    use_mxu_sep,
     warp_flow,
     warp_flow_batch,
 )
@@ -75,28 +77,42 @@ def _poly_exp(f: Array, g: Array, x: Array, invG: Array, n: int) -> tuple[Array,
     taps = 2 * n + 1
     H, W = f.shape[-2], f.shape[-1]
 
-    # Batched separable passes: one 3-channel row pass {g, gx, gxx} feeding
-    # one 6-channel col pass — 2 shifted-add sweeps total instead of 12
-    # per-moment sweeps (the per-moment version is op-count-bound on TPU,
-    # not bandwidth-bound).
-    Kr = jnp.stack([g, gx, gxx], axis=0)  # (3, taps)
-    fr = jnp.stack([f, f, f], axis=-3)  # (..., 3, H, W)
-    pad = [(0, 0)] * (fr.ndim - 2) + [(n, n), (0, 0)]
-    p = jnp.pad(fr, pad, mode="symmetric")
-    R = jnp.zeros_like(fr)
-    for i in range(taps):
-        R = R + Kr[:, i][:, None, None] * p[..., i : i + H, :]
+    if use_mxu_sep():
+        # MXU path: each axis pass is ONE banded matmul (kernel + symmetric
+        # padding folded into an (L, L) matrix — interp.band_matrix). The
+        # row pass never materializes the 3x-stacked operand; reads f once.
+        gn = np.asarray(g, np.float64)
+        xn = np.asarray(x, np.float64)
+        row_k = [gn, gn * xn, gn * xn * xn]
+        Mr = np.stack([band_matrix(tuple(k), H) for k in row_k])  # (3, H, H)
+        R = jnp.einsum("chp,...pw->...chw", jnp.asarray(Mr, f.dtype), f)
+        sel = jnp.asarray([0, 1, 0, 2, 0, 1])
+        col_k = [gn, gn, gn * xn, gn, gn * xn * xn, gn * xn]
+        Mc = np.stack([band_matrix(tuple(k), W) for k in col_k])  # (6, W, W)
+        S = jnp.take(R, sel, axis=-3)  # (..., 6, H, W)
+        v = jnp.einsum("kwv,...khv->...khw", jnp.asarray(Mc, f.dtype), S)
+    else:
+        # CPU path: batched shifted-add separable passes — one 3-channel row
+        # pass {g, gx, gxx} feeding one 6-channel col pass, 2 sweeps total
+        # instead of 12 per-moment sweeps.
+        Kr = jnp.stack([g, gx, gxx], axis=0)  # (3, taps)
+        fr = jnp.stack([f, f, f], axis=-3)  # (..., 3, H, W)
+        pad = [(0, 0)] * (fr.ndim - 2) + [(n, n), (0, 0)]
+        p = jnp.pad(fr, pad, mode="symmetric")
+        R = jnp.zeros_like(fr)
+        for i in range(taps):
+            R = R + Kr[:, i][:, None, None] * p[..., i : i + H, :]
 
-    # moments in basis order [1, dr, dc, dr^2, dc^2, dr*dc]:
-    # (row kernel, col kernel) = (g,g) (gx,g) (g,gx) (gxx,g) (g,gxx) (gx,gx)
-    sel = jnp.asarray([0, 1, 0, 2, 0, 1])
-    Kc = jnp.stack([g, g, gx, g, gxx, gx], axis=0)  # (6, taps)
-    S = jnp.take(R, sel, axis=-3)  # (..., 6, H, W)
-    pad = [(0, 0)] * (S.ndim - 2) + [(0, 0), (n, n)]
-    p = jnp.pad(S, pad, mode="symmetric")
-    v = jnp.zeros_like(S)
-    for i in range(taps):
-        v = v + Kc[:, i][:, None, None] * p[..., :, i : i + W]
+        # moments in basis order [1, dr, dc, dr^2, dc^2, dr*dc]:
+        # (row kernel, col kernel) = (g,g) (gx,g) (g,gx) (gxx,g) (g,gxx) (gx,gx)
+        sel = jnp.asarray([0, 1, 0, 2, 0, 1])
+        Kc = jnp.stack([g, g, gx, g, gxx, gx], axis=0)  # (6, taps)
+        S = jnp.take(R, sel, axis=-3)  # (..., 6, H, W)
+        pad = [(0, 0)] * (S.ndim - 2) + [(0, 0), (n, n)]
+        p = jnp.pad(S, pad, mode="symmetric")
+        v = jnp.zeros_like(S)
+        for i in range(taps):
+            v = v + Kc[:, i][:, None, None] * p[..., :, i : i + W]
 
     coef = jnp.einsum("kj,...jhw->...khw", invG, v)
     c = coef[..., 0, :, :]
@@ -108,7 +124,11 @@ def _poly_exp(f: Array, g: Array, x: Array, invG: Array, n: int) -> tuple[Array,
     return c, bx, by, axx, ayy, axy
 
 
-def _make_invG(n: int, sigma: float, dtype) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+def _make_invG(n: int, sigma: float, dtype) -> tuple[np.ndarray, np.ndarray, jnp.ndarray]:
+    """g/x stay HOST-side numpy: _poly_exp folds them into banded matrices
+    at trace time (a device-array round-trip there would be the process's
+    first device->host read — the one that flips the tunnel into its
+    permanent slow-dispatch mode)."""
     x = np.arange(-n, n + 1, dtype=np.float64)
     g1 = np.exp(-(x**2) / (2.0 * sigma * sigma))
     g1 /= g1.sum()
@@ -121,8 +141,8 @@ def _make_invG(n: int, sigma: float, dtype) -> tuple[jnp.ndarray, jnp.ndarray, j
     G = (B * Wf[:, None]).T @ B
     invG = np.linalg.inv(G)
     return (
-        jnp.asarray(g1, dtype=dtype),
-        jnp.asarray(x, dtype=dtype),
+        np.asarray(g1, dtype=dtype),
+        np.asarray(x, dtype=dtype),
         jnp.asarray(invG, dtype=dtype),
     )
 
@@ -136,6 +156,14 @@ def _blur(f: Array, ksize: int, sigma: float, gaussian: bool) -> Array:
         k /= k.sum()
     else:
         k = np.full(2 * n + 1, 1.0 / (2 * n + 1))
+    if use_mxu_sep():
+        H, W = f.shape[-2], f.shape[-1]
+        kt = tuple(np.asarray(k, np.float64))
+        Mh = jnp.asarray(band_matrix(kt, H), f.dtype)
+        Mw = jnp.asarray(band_matrix(kt, W), f.dtype)
+        out = jnp.einsum("hp,...pw->...hw", Mh, f)
+        return jnp.einsum("wv,...hv->...hw", Mw, out)
+
     k = jnp.asarray(k, dtype=f.dtype)
 
     def conv_axis(img, axis):

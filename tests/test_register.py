@@ -137,6 +137,38 @@ class TestFarneback:
         )
         np.testing.assert_allclose(np.asarray(Fxb)[0], np.asarray(Fx), atol=1e-6)
 
+    def test_banded_sep_matches_shift(self, monkeypatch):
+        """PDX_SEP_IMPL=banded lowers every separable pass (poly expansion,
+        window blur, bilinear resize) as banded-matrix matmuls — the MXU
+        path used on accelerators. Same linear maps as the shifted-add
+        lowering, so outputs must agree to summation-reassociation noise."""
+        import jax as _jax
+        from pdx.ops.interp import resize_bilinear
+        from pdx.register.farneback import farneback_flow
+
+        a = smooth_field(n=40, sigma=4, seed=31)
+        b = ndshift(a, (0.7, -1.2), mode="reflect")
+        A, B = jnp.asarray(a), jnp.asarray(b)
+        kw = dict(levels=2, winsize=11, iterations=3, poly_n=5,
+                  poly_sigma=1.2, gaussian_win=True)
+        from pdx.ops.filters import gaussian_filter_reflect
+
+        fx0, fy0 = (np.asarray(v) for v in farneback_flow(A, B, **kw))
+        r0 = np.asarray(resize_bilinear(A, 25, 17))
+        g0 = np.asarray(gaussian_filter_reflect(A, 1.5))
+        monkeypatch.setenv("PDX_SEP_IMPL", "banded")
+        _jax.clear_caches()  # jit caches don't key on the env policy
+        try:
+            fx1, fy1 = (np.asarray(v) for v in farneback_flow(A, B, **kw))
+            r1 = np.asarray(resize_bilinear(A, 25, 17))
+            g1 = np.asarray(gaussian_filter_reflect(A, 1.5))
+        finally:
+            _jax.clear_caches()  # don't leak banded programs past the env restore
+        np.testing.assert_allclose(r1, r0, rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(g1, g0, rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(fx1, fx0, rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(fy1, fy0, rtol=1e-5, atol=1e-7)
+
     def test_chain_scan_matches_steps(self):
         """chain_impl='scan' (whole chain as ONE lax.scan program — a single
         tunnel dispatch instead of T-1) must reproduce the per-step host

@@ -83,6 +83,25 @@ def main() -> None:
     an: dict = {"shape": "51x512x640"}
     results["analyze_scale"] = an
 
+    # ---- single-flow separable-lowering A/B (banded MXU vs shifted-add) --
+    from pdx.register.farneback import farneback_flow
+
+    one: dict = {}
+    results["single_flow_512x640"] = one
+    fkw = dict(levels=3, winsize=15, iterations=5, poly_n=7,
+               poly_sigma=1.5, gaussian_win=False, refine=1)
+    for impl in ("banded", "shift"):
+        os.environ["PDX_SEP_IMPL"] = impl
+        jax.clear_caches()  # jit caches don't key on the env policy
+        one[f"{impl}_s"] = timed(
+            f"single flow {impl}",
+            lambda: farneback_flow(U[0], U[1], **fkw)[0],
+            reps=3,
+        )
+        flush()
+    os.environ.pop("PDX_SEP_IMPL", None)
+    jax.clear_caches()  # back to the backend-default policy for the rest
+
     an["chain_s"] = timed("chain", lambda: farneback_register_sequence(U), reps=1)
     flush()
     an["chain_scan_s"] = timed(
