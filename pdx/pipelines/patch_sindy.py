@@ -417,12 +417,13 @@ def run(cfg: PatchSindyConfig, U_raw: np.ndarray | None = None) -> dict[str, Any
         # time step runs ONE (P, ps, ps) row-fold-gather Farnebäck program
         # for every patch — T-1 dispatches total instead of the P*(T-1)
         # chained single-patch flows of the reference structure; only the
-        # temporal warp-to-previous dependency stays sequential. With
-        # PDX_CHAIN_IMPL=scan the T-1 steps fold into ONE lax.scan program
-        # (identical math, pinned in tests/test_real_pipelines.py).
-        import os as _os
+        # temporal warp-to-previous dependency stays sequential. On
+        # accelerators the T-1 steps fold into ONE lax.scan program
+        # (identical math, pinned in tests/test_more_pipelines.py;
+        # PDX_CHAIN_IMPL overrides — see farneback._chain_impl_default).
+        from pdx.register.farneback import _chain_impl_default
 
-        if _os.environ.get("PDX_CHAIN_IMPL") == "scan":
+        if _chain_impl_default() == "scan":
             seqs, qualities = _flow_register_chain_scan_all(seqs)
         else:
             T_seq = int(seqs.shape[1])

@@ -381,9 +381,7 @@ def farneback_register_sequence(
 
     sign = jnp.asarray(warp_sign, U.dtype)
     flow_kwargs.setdefault("refine", 1)
-    chain_impl = flow_kwargs.pop("chain_impl", None) or os.environ.get(
-        "PDX_CHAIN_IMPL", "steps"
-    )
+    chain_impl = flow_kwargs.pop("chain_impl", None) or _chain_impl_default()
     flow_static = tuple(sorted(flow_kwargs.items()))
     if chain_impl == "scan":
         # identical per-step math folded into ONE device program via
@@ -409,6 +407,18 @@ def farneback_register_sequence(
         )
         out.append(ref)
     return stack_frames(*out)
+
+
+def _chain_impl_default() -> str:
+    """Chain execution schedule: ONE lax.scan program on accelerators (the
+    tunnel charges ~30 ms dispatch latency per per-frame program in
+    slow-dispatch mode), per-frame jitted steps on CPU (the single-core
+    host keeps the working set cache-resident frame-at-a-time).
+    PDX_CHAIN_IMPL=scan|steps overrides."""
+    impl = os.environ.get("PDX_CHAIN_IMPL")
+    if impl:
+        return impl
+    return "scan" if jax.default_backend() != "cpu" else "steps"
 
 
 @partial(jax.jit, static_argnames=("ksize", "sigma", "flow_static"))

@@ -102,7 +102,11 @@ def main() -> None:
     os.environ.pop("PDX_SEP_IMPL", None)
     jax.clear_caches()  # back to the backend-default policy for the rest
 
-    an["chain_s"] = timed("chain", lambda: farneback_register_sequence(U), reps=1)
+    an["chain_s"] = timed(
+        "chain",
+        lambda: farneback_register_sequence(U, chain_impl="steps"),
+        reps=1,
+    )
     flush()
     an["chain_scan_s"] = timed(
         "chain_scan",
