@@ -82,7 +82,7 @@ def gaussian_filter_reflect(f: Array, sigma: float, truncate: float = 4.0) -> Ar
     if sigma <= 0:
         return f
     radius = int(truncate * sigma + 0.5)
-    from pdx.ops.interp import band_matrix, use_mxu_sep
+    from pdx.ops.interp import _SEP_PREC, band_matrix, use_mxu_sep
 
     if use_mxu_sep():
         # accelerator lowering: one banded matmul per axis (MXU) — see
@@ -92,8 +92,8 @@ def gaussian_filter_reflect(f: Array, sigma: float, truncate: float = 4.0) -> Ar
         H, W = f.shape[-2], f.shape[-1]
         Mh = jnp.asarray(band_matrix(kt, H), f.dtype)
         Mw = jnp.asarray(band_matrix(kt, W), f.dtype)
-        out = jnp.einsum("hp,...pw->...hw", Mh, f)
-        return jnp.einsum("wv,...hv->...hw", Mw, out)
+        out = jnp.einsum("hp,...pw->...hw", Mh, f, precision=_SEP_PREC)
+        return jnp.einsum("wv,...hv->...hw", Mw, out, precision=_SEP_PREC)
 
     k = jnp.asarray(_gaussian_kernel1d(sigma, radius), dtype=f.dtype)
 

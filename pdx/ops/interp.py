@@ -41,6 +41,13 @@ def _gather2d(f: Array, ix: Array, iy: Array) -> Array:
 # ---------------------------------------------------------------------------
 
 
+# banded-sep einsum precision: import pdx pins the GLOBAL matmul precision
+# to `highest` (6-pass f32 — required for Gram-based coefficient recovery),
+# but image-smoothing kernels only need ~f32 fidelity: HIGH (bf16_3x) halves
+# the MXU passes with ~1e-6 relative error on 15-tap kernels
+_SEP_PREC = jax.lax.Precision.HIGH
+
+
 def use_mxu_sep() -> bool:
     """Trace-time policy: lower separable passes as banded matmuls?"""
     impl = os.environ.get("PDX_SEP_IMPL")
@@ -373,8 +380,8 @@ def resize_bilinear(f: Array, out_h: int, out_w: int) -> Array:
     if use_mxu_sep():
         Mh = jnp.asarray(resize_matrix(H, out_h), dtype)
         Mw = jnp.asarray(resize_matrix(W, out_w), dtype)
-        out = jnp.einsum("hp,...pw->...hw", Mh, f.astype(dtype))
-        return jnp.einsum("wv,...hv->...hw", Mw, out)
+        out = jnp.einsum("hp,...pw->...hw", Mh, f.astype(dtype), precision=_SEP_PREC)
+        return jnp.einsum("wv,...hv->...hw", Mw, out, precision=_SEP_PREC)
     sx = H / out_h
     sy = W / out_w
     x = (jnp.arange(out_h, dtype=dtype) + 0.5) * sx - 0.5

@@ -40,6 +40,7 @@ import jax.numpy as jnp
 from jax import Array
 
 from pdx.ops.interp import (
+    _SEP_PREC,
     band_matrix,
     bilinear_sample_reflect,
     bilinear_sample_reflect_cbatch,
@@ -85,12 +86,12 @@ def _poly_exp(f: Array, g: Array, x: Array, invG: Array, n: int) -> tuple[Array,
         xn = np.asarray(x, np.float64)
         row_k = [gn, gn * xn, gn * xn * xn]
         Mr = np.stack([band_matrix(tuple(k), H) for k in row_k])  # (3, H, H)
-        R = jnp.einsum("chp,...pw->...chw", jnp.asarray(Mr, f.dtype), f)
+        R = jnp.einsum("chp,...pw->...chw", jnp.asarray(Mr, f.dtype), f, precision=_SEP_PREC)
         sel = jnp.asarray([0, 1, 0, 2, 0, 1])
         col_k = [gn, gn, gn * xn, gn, gn * xn * xn, gn * xn]
         Mc = np.stack([band_matrix(tuple(k), W) for k in col_k])  # (6, W, W)
         S = jnp.take(R, sel, axis=-3)  # (..., 6, H, W)
-        v = jnp.einsum("kwv,...khv->...khw", jnp.asarray(Mc, f.dtype), S)
+        v = jnp.einsum("kwv,...khv->...khw", jnp.asarray(Mc, f.dtype), S, precision=_SEP_PREC)
     else:
         # CPU path: batched shifted-add separable passes — one 3-channel row
         # pass {g, gx, gxx} feeding one 6-channel col pass, 2 sweeps total
@@ -161,8 +162,8 @@ def _blur(f: Array, ksize: int, sigma: float, gaussian: bool) -> Array:
         kt = tuple(np.asarray(k, np.float64))
         Mh = jnp.asarray(band_matrix(kt, H), f.dtype)
         Mw = jnp.asarray(band_matrix(kt, W), f.dtype)
-        out = jnp.einsum("hp,...pw->...hw", Mh, f)
-        return jnp.einsum("wv,...hv->...hw", Mw, out)
+        out = jnp.einsum("hp,...pw->...hw", Mh, f, precision=_SEP_PREC)
+        return jnp.einsum("wv,...hv->...hw", Mw, out, precision=_SEP_PREC)
 
     k = jnp.asarray(k, dtype=f.dtype)
 
