@@ -50,6 +50,36 @@ def regression_metrics(y_true: Array, y_pred: Array) -> dict[str, Array]:
     }
 
 
+def masked_regression_metrics(y_true: Array, y_pred: Array, mask: Array) -> dict[str, Array]:
+    """:func:`regression_metrics` + median-abs-residual restricted to a
+    boolean mask, entirely on device (static shapes — no host extraction).
+
+    Exactly the metrics of the EXTRACTED subset ``y[mask]`` (all reductions
+    run over the subset), so it replaces the host-side
+    ``np.asarray(y)[mask]`` round-trips of the spatial-holdout path
+    (analyze_results.py:820-902) without changing values.
+    """
+    w = mask.astype(y_true.dtype)
+    n = jnp.sum(w)
+    d = y_true - y_pred
+    my = jnp.sum(w * y_true) / n
+    mp = jnp.sum(w * y_pred) / n
+    ss_res = jnp.sum(w * d * d)
+    ss_tot = jnp.sum(w * (y_true - my) ** 2)
+    rmse_m = jnp.sqrt(ss_res / n)
+    yt = y_true - my
+    yp = y_pred - mp
+    denom = jnp.sqrt(jnp.sum(w * yt * yt)) * jnp.sqrt(jnp.sum(w * yp * yp)) + 1e-18
+    return {
+        "rmse": rmse_m,
+        "r2": 1.0 - ss_res / (ss_tot + 1e-18),
+        "nrmse": rmse_m / (jnp.sqrt(ss_tot / n) + 1e-12),
+        "mae": jnp.sum(w * jnp.abs(d)) / n,
+        "corr": jnp.sum(w * yt * yp) / denom,
+        "resid_med_abs": jnp.nanmedian(jnp.where(mask, jnp.abs(d), jnp.nan)),
+    }
+
+
 def f1_support_score(est: Array, true: Array, tol: float = 1e-8) -> Array:
     """F1 score on coefficient support (notebook 10 c26 compute_f1_score)."""
     est_active = jnp.abs(est) > tol

@@ -29,6 +29,7 @@ from pathlib import Path
 from typing import Any
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from pdx.io_host.images import load_images
@@ -357,10 +358,11 @@ def _run_models_batched(cfg, fields, u_t, u, train_sl, test_sl, k_list) -> list[
     coeffs_b, m_tr, m_te, os_tr, os_te = _fit_models_batched(
         X_tr, y_tr, X_te, y_te, u, masks, cfg.alpha, cfg.threshold, cfg.dt, 20, n_tr_t
     )
-    coeffs_np = np.asarray(coeffs_b)
-    m_tr = {k: np.asarray(v) for k, v in m_tr.items()}
-    m_te = {k: np.asarray(v) for k, v in m_te.items()}
-    os_tr_np, os_te_np = np.asarray(os_tr), np.asarray(os_te)
+    # ONE bundled device->host read for the whole fit-result pytree (each
+    # sequential np.asarray would pay its own ~10-30 ms tunnel round-trip)
+    coeffs_np, m_tr, m_te, os_tr_np, os_te_np = jax.device_get(
+        (coeffs_b, m_tr, m_te, os_tr, os_te)
+    )
 
     # batched rollouts: ONE compiled program per split covers every model and
     # every horizon (a per-(k, split) formulation compiles ~20 separate scans)
@@ -374,7 +376,7 @@ def _run_models_batched(cfg, fields, u_t, u, train_sl, test_sl, k_list) -> list[
                 u, coeffs_b, dt_r, dx_r, dy_r, empty_masks,
                 k_max=k_max, t0=sl.start or 0, t1=sl.stop,
             )
-            bundles[tag] = (np.asarray(rm), np.asarray(nrm))
+            bundles[tag] = tuple(jax.device_get((rm, nrm)))
         else:
             nanv = np.full((M, max(k_max, 1), 1), np.nan)
             bundles[tag] = (nanv, nanv)
@@ -695,6 +697,18 @@ def _space_mask(mh: int, mw: int, frac: float, axis: str):
     return jnp.asarray(train), jnp.asarray(~train)
 
 
+@jax.jit
+def _spatial_eval_bundle(yf, y_pred, tm3, sm3, u, ut_pred_all, dt, train_m, test_m):
+    from pdx.ops.metrics import masked_regression_metrics
+
+    return (
+        masked_regression_metrics(yf, y_pred, tm3),
+        masked_regression_metrics(yf, y_pred, sm3),
+        one_step_prediction_rmse(u, ut_pred_all, dt, train_m),
+        one_step_prediction_rmse(u, ut_pred_all, dt, test_m),
+    )
+
+
 def _spatial_holdout(cfg, fields, u_t, u, model_key, mh, mw, axis) -> dict:
     """Fit on one spatial region, evaluate the disjoint one
     (analyze_results.py:820-902)."""
@@ -723,25 +737,29 @@ def _spatial_holdout(cfg, fields, u_t, u, model_key, mh, mw, axis) -> dict:
         ).coeffs
     y_pred = Xf @ coeffs
 
-    def masked_metrics(mask):
-        mnp = np.asarray(mask)
-        yt = np.asarray(yf)[mnp]
-        yp = np.asarray(y_pred)[mnp]
-        m = {k: float(v) for k, v in regression_metrics(jnp.asarray(yt), jnp.asarray(yp)).items()}
-        m["resid_med_abs"] = float(np.median(np.abs(yt - yp)))
-        return m
-
-    m_train = masked_metrics(tm3)
-    m_test = masked_metrics(sm3)
+    # all metrics on device in ONE jitted program (masked reductions ==
+    # extracted-subset metrics, see ops/metrics.py::masked_regression_metrics),
+    # then ONE bundled device->host read — the host-extraction formulation
+    # paid ~8 full-array transfers + ~16 scalar round-trips per holdout
+    # through the tunnel (3.7 s of the chip stage table)
     ut_pred_all = y_pred.reshape(u_t.shape)
-    m_train["one_step_rmse"] = float(one_step_prediction_rmse(u, ut_pred_all, cfg.dt, train_m))
-    m_test["one_step_rmse"] = float(one_step_prediction_rmse(u, ut_pred_all, cfg.dt, test_m))
+    bundle = _spatial_eval_bundle(
+        yf, y_pred, tm3, sm3, u, ut_pred_all,
+        jnp.asarray(cfg.dt, u.dtype), train_m, test_m,
+    )
+    m_train, m_test, os_train, os_test, coeffs_np = jax.device_get(
+        bundle + (coeffs,)
+    )
+    m_train = {k: float(v) for k, v in m_train.items()}
+    m_test = {k: float(v) for k, v in m_test.items()}
+    m_train["one_step_rmse"] = float(os_train)
+    m_test["one_step_rmse"] = float(os_test)
     return {
         "space_train_frac": cfg.space_train_frac,
         "space_split": "left_right" if axis == "lr" else "top_bottom",
         "train": m_train,
         "test": m_test,
-        "coeffs": [float(c) for c in np.asarray(coeffs)],
+        "coeffs": [float(c) for c in coeffs_np],
         "terms": [ANALYZE_DISPLAY.get(n, n) for n in names],
     }
 

@@ -638,8 +638,11 @@ def _run_fast_pointwise_grid(cfg: Ks2dBenchConfig, fr: dict[str, Any], rng: np.r
             jnp.asarray(GRID_THRESHOLDS, jnp.dtype(cfg.dtype)),
             tuple(names), cfg.derivatives, use_qr,
         )
-    coeffs_np, r2_np, rmse_np, nact_np = (
-        np.asarray(coeffs_grid), np.asarray(r2g), np.asarray(errg), np.asarray(nactg)
+    # ONE bundled device->host read: device_get starts every async copy
+    # before blocking, so the 4 arrays cost ~one tunnel round-trip instead
+    # of four sequential ones (~10-30 ms each)
+    coeffs_np, r2_np, rmse_np, nact_np = jax.device_get(
+        (coeffs_grid, r2g, errg, nactg)
     )
     best = None
     for ai, a in enumerate(GRID_ALPHAS):

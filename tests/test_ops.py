@@ -252,6 +252,25 @@ class TestMetrics:
         assert np.isclose(float(r2_score(jnp.asarray(y), jnp.asarray(yp))), 1 - ss_res / (ss_tot + 1e-18))
 
 
+    def test_masked_metrics_match_extracted(self):
+        """masked_regression_metrics(y, yp, m) == regression_metrics on the
+        extracted subset y[m] (the device formulation that replaced the
+        spatial-holdout host extraction round-trips)."""
+        from pdx.ops.metrics import masked_regression_metrics, regression_metrics
+
+        rng = np.random.default_rng(18)
+        y = rng.normal(size=400)
+        yp = y + 0.2 * rng.normal(size=400)
+        m = rng.random(400) < 0.4
+        got = {k: float(v) for k, v in masked_regression_metrics(
+            jnp.asarray(y), jnp.asarray(yp), jnp.asarray(m)).items()}
+        want = {k: float(v) for k, v in regression_metrics(
+            jnp.asarray(y[m]), jnp.asarray(yp[m])).items()}
+        want["resid_med_abs"] = float(np.median(np.abs(y[m] - yp[m])))
+        for k, v in want.items():
+            assert np.isclose(got[k], v, rtol=1e-10, atol=1e-12), (k, got[k], v)
+
+
 class TestGaussian3D:
     def test_matches_scipy_tuple_sigma(self):
         from scipy.ndimage import gaussian_filter as sgf
