@@ -105,6 +105,22 @@ def feature_matrix(derivs: jnp.ndarray, names: list[str]) -> jnp.ndarray:
 from functools import partial as _partial
 
 
+@jax.jit
+def _heldout_eval(U, Xg, yg, Xs, spts, agg, dt):
+    """Global held-out metrics + one-step RMSE (reference :446-465) as one
+    device program; feature matrices enter precomputed, the frame-difference
+    gather runs on device."""
+    pred_g = Xg @ agg
+    m = dict(regression_metrics(yg, pred_g))
+    m["resid_med_abs"] = jnp.median(jnp.abs(yg - pred_g))
+    du = (
+        U[spts[:, 0] + 1, spts[:, 1], spts[:, 2]]
+        - U[spts[:, 0], spts[:, 1], spts[:, 2]]
+    )
+    one_step = jnp.sqrt(jnp.mean((du - dt * (Xs @ agg)) ** 2))
+    return m, one_step
+
+
 @_partial(jax.jit, static_argnames=("names", "alpha", "threshold"))
 def _all_patch_fits(d_tr, d_te, *, names, alpha, threshold):
     """Vmapped per-patch STRidge fits as one MODULE-LEVEL compiled program
@@ -219,11 +235,12 @@ def run(cfg: PatchDiscoveryConfig, U_raw: np.ndarray | None = None) -> dict[str,
     # lets tests assert the mesh run actually PARTITIONED the patch axis
     # instead of XLA silently gathering to one device
     n_shard_devices = len({s.device for s in coeffs.addressable_shards})
-    C = np.asarray(coeffs)[:P]  # (P, p)
-    # convert each (P,) metric vector once, not once per patch (each
-    # np.asarray on a device array is a host round-trip)
-    m_tr_np = {k: np.asarray(v)[:P] for k, v in m_tr_v.items()}
-    m_te_np = {k: np.asarray(v)[:P] for k, v in m_te_v.items()}
+    # ONE bundled device->host read for the whole fit-result pytree (each
+    # sequential np.asarray pays its own ~10-30 ms tunnel round-trip)
+    C, m_tr_np, m_te_np = jax.device_get((coeffs, m_tr_v, m_te_v))
+    C = C[:P]  # (P, p)
+    m_tr_np = {k: v[:P] for k, v in m_tr_np.items()}
+    m_te_np = {k: v[:P] for k, v in m_te_np.items()}
     patch_train_metrics = [{k: float(v[i]) for k, v in m_tr_np.items()} for i in range(P)]
     patch_test_metrics = [{k: float(v[i]) for k, v in m_te_np.items()} for i in range(P)]
 
@@ -241,16 +258,17 @@ def run(cfg: PatchDiscoveryConfig, U_raw: np.ndarray | None = None) -> dict[str,
     # --- global held-out evaluation (reference :446-465) ---
     gpts = _safe_sample_points(rng, t_test, h, w, rs, 800)
     dg = local_poly_derivatives_batch(U, gpts, rt=rt, rs=rs, deg=cfg.deg, dt=cfg.dt, dx=cfg.dx, dy=cfg.dy)
-    Xg = feature_matrix(dg, names)
-    yg = dg[:, 1]
-    m_test = {k: float(v) for k, v in regression_metrics(yg, Xg @ jnp.asarray(agg)).items()}
-    m_test["resid_med_abs"] = float(jnp.median(jnp.abs(yg - Xg @ jnp.asarray(agg))))
-
     spts = _safe_sample_points(rng, t_valid[:-1], h, w, rs, 1200)
     ds = local_poly_derivatives_batch(U, spts, rt=rt, rs=rs, deg=cfg.deg, dt=cfg.dt, dx=cfg.dx, dy=cfg.dy)
-    ut_pred = feature_matrix(ds, names) @ jnp.asarray(agg)
-    du = U[spts[:, 0] + 1, spts[:, 1], spts[:, 2]] - U[spts[:, 0], spts[:, 1], spts[:, 2]]
-    one_step_rmse = float(jnp.sqrt(jnp.mean((du - cfg.dt * ut_pred) ** 2)))
+    # held-out metrics + one-step rmse in ONE jitted program + ONE bundled
+    # read (the eager formulation paid a dispatch/read per metric)
+    m_test, one_step_rmse = jax.device_get(_heldout_eval(
+        U, feature_matrix(dg, names), dg[:, 1], feature_matrix(ds, names),
+        jnp.asarray(spts), jnp.asarray(agg, U.dtype),
+        jnp.asarray(cfg.dt, U.dtype),
+    ))
+    m_test = {k: float(v) for k, v in m_test.items()}
+    one_step_rmse = float(one_step_rmse)
 
     eq_parts = []
     for coef, n in zip(agg, names):

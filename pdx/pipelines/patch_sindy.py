@@ -471,8 +471,9 @@ def run(cfg: PatchSindyConfig, U_raw: np.ndarray | None = None) -> dict[str, Any
     # achieved placement (pre-transfer): tests assert the mesh run actually
     # partitioned the patch axis rather than gathering to one device
     n_shard_devices = len({s.device for s in coeffs.addressable_shards})
-    C = np.asarray(coeffs)[:P_orig]
-    Q = np.maximum(np.asarray(qual)[:P_orig], 0.0)
+    C, Q = jax.device_get((coeffs, qual))  # one bundled host read
+    C = C[:P_orig]
+    Q = np.maximum(Q[:P_orig], 0.0)
 
     valid = Q > -0.5
     C, Q = C[valid], Q[valid]

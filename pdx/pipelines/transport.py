@@ -19,6 +19,7 @@ from dataclasses import dataclass
 from typing import Any
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from pdx.io_host.images import load_images
@@ -171,10 +172,13 @@ def run(cfg: TransportConfig, U_raw: np.ndarray | None = None) -> dict[str, Any]
         imgs_ds, flow_u, flow_v, alphas_arr,
         dt=cfg.dt, dx=cfg.dx, dy=cfg.dy, spatial_smooth=cfg.spatial_smooth,
     )
-    coefs = np.asarray(coefs)
-    intercepts = np.asarray(intercepts)
-    ss_res_v, mae_v = np.asarray(ss_res_v), np.asarray(mae_v)
-    ss_tot, n_eff = float(ss_tot), float(n_eff)
+    # ONE bundled device->host read (sequential np.asarray reads pay a
+    # ~10-30 ms tunnel round-trip each); mean flow speed joins the bundle
+    coefs, intercepts, ss_res_v, mae_v, ss_tot, n_eff, mean_speed = jax.device_get(
+        (coefs, intercepts, ss_res_v, mae_v, ss_tot, n_eff,
+         _mean_speed(flow_u, flow_v))
+    )
+    ss_tot, n_eff, mean_speed = float(ss_tot), float(n_eff), float(mean_speed)
 
     results = {}
     for ai, alpha in enumerate(cfg.alphas):
@@ -189,7 +193,6 @@ def run(cfg: TransportConfig, U_raw: np.ndarray | None = None) -> dict[str, Any]
             "mae": float(mae_v[ai]),
         }
 
-    mean_speed = float(jnp.mean(jnp.sqrt(flow_u**2 + flow_v**2)))
     out = {
         "config": dataclasses.asdict(cfg),
         "term_names": TERM_NAMES,
@@ -214,10 +217,25 @@ def run(cfg: TransportConfig, U_raw: np.ndarray | None = None) -> dict[str, Any]
     return out
 
 
-def mass_conservation_drift(U: np.ndarray) -> float:
+@jax.jit
+def _mean_speed(fu, fv):
+    return jnp.mean(jnp.sqrt(fu**2 + fv**2))
+
+
+@jax.jit
+def _frame_sums(U):
+    return jnp.sum(U, axis=(1, 2))
+
+
+def mass_conservation_drift(U) -> float:
     """Relative drift of total intensity over the sequence (the 0.54%
     transport-form premise, transport_pde_discovery.py:10)."""
-    sums = np.asarray(U).sum(axis=(1, 2))
+    if isinstance(U, jnp.ndarray):
+        # reduce on device, read only the (T,) sums — np.asarray(U) would
+        # transfer the whole stack through the tunnel
+        sums = np.asarray(_frame_sums(U))
+    else:
+        sums = np.asarray(U).sum(axis=(1, 2))
     return float((sums.max() - sums.min()) / (sums.mean() + 1e-12) * 100.0)
 
 
