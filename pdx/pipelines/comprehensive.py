@@ -540,6 +540,16 @@ def _run_methods_batched(
         for name, _d, _i in jobs:
             times[name] += solve_t
 
+    # ONE bundled device->host read for every method's coefficients: the
+    # per-name np.asarray loop paid ~21 sequential tunnel round-trips per
+    # regime (~168 across the matrix). Fall back to per-name reads if the
+    # bundled get fails so one poisoned value can't sink the whole regime.
+    import jax as _jax
+
+    try:
+        singles = _jax.device_get(singles)
+    except Exception:
+        pass
     for name in method_names:
         if name in results:  # failed earlier
             continue
