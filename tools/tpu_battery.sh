@@ -22,7 +22,7 @@ mkdir -p "$DIR" outputs
 STATUS="$DIR/STATUS"
 : > "$STATUS"
 FAILED=""
-ALL_SECTIONS="bench comprehensive real_bench pallas mesh_scaling gather_bench flow_bench"
+ALL_SECTIONS="flow_quick bench real_bench comprehensive pallas mesh_scaling gather_bench flow_bench"
 SECTIONS="${SECTIONS:-$ALL_SECTIONS}"
 DONE_FILE="outputs/battery_sections_done.txt"
 
@@ -95,7 +95,7 @@ note "battery $STAMP start"
 #    Skipped entirely when only CPU sections are wanted (mesh_scaling can be
 #    pre-recorded without spending a healthy-tunnel window on it).
 needs_tpu=""
-for s in bench comprehensive real_bench pallas gather_bench flow_bench; do want "$s" && needs_tpu=1; done
+for s in flow_quick bench comprehensive real_bench pallas gather_bench flow_bench; do want "$s" && needs_tpu=1; done
 if [ -z "$needs_tpu" ]; then
   note "probe skipped (CPU-only sections: $SECTIONS)"
 else
@@ -133,29 +133,52 @@ fi
 note "ok probe: $(tail -1 "$DIR/probe.log")"
 fi
 
-# 0a/0b. decision-making microbenches FIRST: they are cheap (<25 min
-#    combined), and their data picks the register_mode / chunk defaults the
-#    long sections then measure — a short healthy window must not be spent
-#    on real_bench before the formulation question is answered
-# 0a. batched-gather formulation microbench (flat take / row-fold /
-#     channel-last / unrolled) — the primitive-level data behind flow_bench
-want gather_bench && abort_if_wedged gather_bench && run_section gather_bench 900 python tools/gather_bench.py \
-  --out "$DIR/gather_bench.json"
+# 0. flow_quick FIRST: ~3-6 min that decides the two accelerator policy
+#    knobs (PDX_SEP_IMPL banded-vs-shift, PDX_CHAIN_IMPL steps-vs-scan) that
+#    shipped chip-unverified after the 19:25Z worker crash — the long
+#    sections must not measure a policy the chip votes against
+want flow_quick && run_section flow_quick 900 python tools/flow_quick.py \
+  --out "$DIR/flow_quick.json"
 
-# 0b. registration-formulation A/B (chain vs chunked compose, both
-#     production shapes) — decides register_mode / PDX_FLOW_CHUNK_ELEMS
-#     defaults from chip data (the 18:29Z battery showed the one-giant-
-#     program compose REGRESSING vs the chain; see tools/flow_bench.py)
-want flow_bench && abort_if_wedged flow_bench && run_section flow_bench 1500 python tools/flow_bench.py \
-  --out "$DIR/flow_bench.json"
+# export the measured winners for every subsequent section (falls back to
+# the newest prior battery's flow_quick.json when this run skipped the
+# section because a previous attempt already recorded it)
+knob_exports=$(python - <<'PY'
+import glob, json
+paths = sorted(glob.glob("docs/measurements/battery_*/flow_quick.json"))
+for p in reversed(paths):
+    try:
+        data = json.load(open(p))
+        rec = data.get("recommend", {})
+    except Exception:
+        continue
+    # only chip data may set chip policy (a CPU-fallback record must not)
+    if rec and data.get("backend") == "tpu":
+        for k, v in sorted(rec.items()):
+            print(f"export {k}={v}")
+        break
+PY
+)
+if [ -n "$knob_exports" ]; then
+  eval "$knob_exports"
+  note "knobs: $(echo "$knob_exports" | tr '\n' ' ')"
+fi
 
 # 1. the driver bench (writes docs/measurements/bench_tpu_<stamp>.json itself)
 #    no-fallback: a wedge must fail in ~90 s, not burn 900 s on a CPU rerun
 want bench && run_section bench 900 env PDX_BENCH_NO_FALLBACK=1 python bench.py
 
-# 2. comprehensive 21x8 matrix, batched dispatch, cold + warm (VERDICT r2 #2)
-#    — before the long real_bench sweep: a wedge mid-battery should cost the
-#    least-owed section, and real_bench now flushes per-pipeline anyway
+# 2. real-image pipeline sweep — the most-owed record (moved ahead of the
+#    microbenches 2026-08-17: the register-formulation question they existed
+#    to answer is settled — chain won at every compose chunk size — and
+#    flow_bench CRASHED the TPU worker at 19:25Z, wedging the tunnel for
+#    hours; the headline sweep must not queue behind a section that can
+#    destroy the window). Flushes its JSON after every pipeline.
+want real_bench && abort_if_wedged real_bench && run_section real_bench 3600 python tools/real_bench.py /tmp/synth51 \
+  --out "$DIR/real_bench.json"
+[ -f "$DIR/real_bench.json" ] && cp "$DIR/real_bench.json" outputs/real_bench_tpu.json
+
+# 3. comprehensive 21x8 matrix, batched dispatch, cold + warm (VERDICT r2 #2)
 want comprehensive && abort_if_wedged comprehensive && run_section comprehensive 2400 python - "$DIR/comprehensive.json" <<'PY'
 import json, sys, time
 import pdx
@@ -174,12 +197,6 @@ json.dump(out, open(sys.argv[1], "w"), indent=2)
 print(out)
 PY
 
-# 3. real-image pipeline sweep (cold+warm x 4 pipelines; flushes its JSON
-#    after every pipeline so a wedge keeps the completed ones)
-want real_bench && abort_if_wedged real_bench && run_section real_bench 3600 python tools/real_bench.py /tmp/synth51 \
-  --out "$DIR/real_bench.json"
-[ -f "$DIR/real_bench.json" ] && cp "$DIR/real_bench.json" outputs/real_bench_tpu.json
-
 # 4. Pallas kernel microbenchmarks: parity + ms/iter vs the XLA path for the
 #    fused pointwise and blockwise Gram kernels (stamped record of the 8.9x /
 #    12x claims in docs/RESULTS.md)
@@ -188,6 +205,21 @@ want pallas && abort_if_wedged pallas && run_section pallas 1200 python tools/tp
 # 5. virtual-mesh scaling curve (CPU — cheap, but record it alongside)
 want mesh_scaling && run_section mesh_scaling 1200 python tools/mesh_scaling.py \
   --out "$DIR/mesh_scaling.json"
+
+# 6/7. informational microbenches LAST: their decisions are already made
+#    (flow_quick + the 19:25Z partial flow_bench), and flow_bench's heavy
+#    batched-pyramid programs once CRASHED the TPU worker — nothing owed may
+#    queue behind them
+# 6. batched-gather formulation microbench (flat take / row-fold /
+#     channel-last / unrolled) — the primitive-level data behind flow_bench
+want gather_bench && abort_if_wedged gather_bench && run_section gather_bench 900 python tools/gather_bench.py \
+  --out "$DIR/gather_bench.json"
+
+# 7. registration-formulation sweep (chain vs chunked compose + patch-scale
+#     chunk/chain A/B, both production shapes) — re-measures the row-folded
+#     gather rewrite the 19:25Z crash predates
+want flow_bench && abort_if_wedged flow_bench && run_section flow_bench 1500 python tools/flow_bench.py \
+  --out "$DIR/flow_bench.json"
 
 if [ -z "$FAILED" ]; then
   note "battery COMPLETE"
