@@ -373,11 +373,13 @@ def farneback_register_sequence(
 
     Execution note: this is a host-driven chain of per-frame jitted programs,
     NOT a lax.scan/vmap — TPU lowers the pyramid's batched gathers inside
-    scan/vmap ~100-400x slower than the single-example program. Honest
-    completion time (chained dependency, one device->host read at the end,
-    NOT enqueue time): 50 sequential 512^2 flows = 9.4 s on one v5e chip
-    (~187 ms/flow; was ~630 ms/flow before the batched expansion-fetch
-    gather and batched separable moment passes).
+    scan/vmap ~100-400x slower than the single-example program (the scan
+    schedule below avoids that: its body is a SINGLE-example pyramid).
+    Honest completion time (chained dependency, one device->host read at
+    the end, NOT enqueue time): 50 sequential 512x640 flows = 7.3 s on one
+    v5e chip (146 ms/flow, battery_20260817T192554Z/flow_bench.json; was
+    ~630 ms/flow before the batched expansion-fetch gather and batched
+    separable moment passes).
     """
 
     sign = jnp.asarray(warp_sign, U.dtype)
