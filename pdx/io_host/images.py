@@ -46,6 +46,24 @@ def _read_gray(path: Path) -> np.ndarray | None:
     raise RuntimeError("no image decode backend available (cv2/PIL)")
 
 
+# in-process decoded-stack cache: the warm pass of every pipeline (and any
+# notebook/server process that re-runs the suite on the same immutable
+# stack) re-pays a multi-second host I/O read of the disk cache entry on
+# this class of host (~12 MB/s effective: 23 s for the 267 MB f32
+# reference-scale stack, measured 2026-08-18). Entries are published
+# READ-ONLY — a caller mutating the returned array would corrupt every
+# later hit, so numpy is told to fail loudly instead. Keyed identically to
+# the disk cache (content key), capped to a handful of stacks (128 GB host).
+_MEM_CACHE: dict[str, np.ndarray] = {}
+_MEM_CACHE_CAP = 4
+
+
+def clear_stack_memcache() -> None:
+    """Drop the in-process decoded-stack cache (benchmark harnesses call
+    this before a 'cold' pass so cold timings include the real load)."""
+    _MEM_CACHE.clear()
+
+
 def _cache_dir() -> Path:
     return Path(
         os.environ.get("PDX_STACK_CACHE_DIR")
@@ -108,15 +126,20 @@ def load_images(
     (IMREAD_GRAYSCALE); ``'unchanged'`` matches the other loaders
     (IMREAD_UNCHANGED + gray conversion).
 
-    ``cache``: decoded-stack cache (default on; disable with
-    ``PDX_STACK_CACHE=0``). Every pipeline in the suite re-reads the same
-    immutable 51-frame stack; on this class of host the per-frame TIFF
-    decode dominates (~0.5 s/frame single-core) where one sequential read
-    of the decoded array is ~1-2 s. Entries live under
-    ``~/.cache/pdx/stacks`` keyed by (file list, sizes, mtimes, mode,
-    dtype) — touching any frame invalidates. The reference re-decodes per
-    script run (it has no loader layer to hang a cache on); real_bench's
-    cold timings still include the decode+cache-write cost.
+    ``cache``: two-level decoded-stack cache (default on; disable with
+    ``PDX_STACK_CACHE=0``, memory level alone with ``PDX_STACK_MEMCACHE=0``).
+    Every pipeline in the suite re-reads the same immutable 51-frame stack;
+    the per-frame TIFF decode dominates (~0.5 s/frame single-core). Disk
+    entries live under ``~/.cache/pdx/stacks`` keyed by (file list, sizes,
+    mtimes, mode, dtype) — touching any frame invalidates — and are stored
+    in the compact SOURCE dtype (a u16 stack is half the disk traffic of
+    the f32 it decodes to; this host reads ~12 MB/s). Within one process,
+    hits come straight from ``_MEM_CACHE`` (read-only aliases, zero I/O) —
+    the level a warm pipeline re-run or a notebook session actually feels.
+    The reference re-decodes per script run (it has no loader layer to hang
+    a cache on); benchmark harnesses call :func:`clear_stack_memcache` and
+    point ``PDX_STACK_CACHE_DIR`` at a fresh dir so their cold timings
+    still include the full decode.
     """
     folder = Path(folder)
     files = sorted(folder.glob(pattern))[: int(max_images)]
@@ -131,10 +154,18 @@ def load_images(
     if cache is None:
         cache = os.environ.get("PDX_STACK_CACHE", "1") != "0"
     key = _cache_key(files, mode, dtype) if cache else None
+    use_mem = key is not None and os.environ.get("PDX_STACK_MEMCACHE", "1") != "0"
+    if use_mem and key in _MEM_CACHE:
+        return _MEM_CACHE[key]
     if key is not None:
         hit = _cache_load(key)
         if hit is not None:
-            return hit
+            # disk entries are stored in the compact SOURCE dtype (u8/u16
+            # TIFs: half/quarter the disk traffic of the f32 stack on this
+            # ~12 MB/s disk); cast to the requested dtype here
+            if hit.dtype != np.dtype(dtype):
+                hit = hit.astype(dtype)
+            return _mem_publish(key, hit) if use_mem else hit
 
     def read_one(f: Path) -> np.ndarray | None:
         if mode == "grayscale_u8" and cv2 is not None:
@@ -155,15 +186,30 @@ def load_images(
             if img is None:
                 continue
             if out is None:
-                out = np.empty((len(files),) + img.shape, dtype=dtype)
+                # decode into the SOURCE dtype (u16 TIFs: half the memory
+                # traffic of an f32 block on this slow-memory host, and the
+                # disk cache entry below stays compact)
+                out = np.empty((len(files),) + img.shape, dtype=img.dtype)
             out[kept] = img
             kept += 1
     if out is None or kept == 0:
         raise RuntimeError("no readable images found in the data directory")
     out = out[:kept]
     if key is not None:
-        _cache_store(key, out)
-    return out
+        _cache_store(key, out)  # compact source-dtype entry
+    if out.dtype != np.dtype(dtype):
+        out = out.astype(dtype)
+    return _mem_publish(key, out) if use_mem else out
+
+
+def _mem_publish(key: str, stack: np.ndarray) -> np.ndarray:
+    """Insert into the in-process cache (FIFO-capped) and return the entry
+    read-only: every later hit aliases this exact array."""
+    stack.setflags(write=False)
+    while len(_MEM_CACHE) >= _MEM_CACHE_CAP:
+        _MEM_CACHE.pop(next(iter(_MEM_CACHE)))
+    _MEM_CACHE[key] = stack
+    return stack
 
 
 def list_image_resolutions(folder: str | Path, pattern: str = "*.tif") -> dict[tuple[int, int], int]:

@@ -78,6 +78,31 @@ class TestImageIO:
         load_images(tiff_dir, max_images=6, cache=True)
         assert len(list((tmp_path / "stacks").glob("*.npy"))) == 2
 
+    def test_stack_cache_levels(self, tiff_dir, tmp_path, monkeypatch):
+        """Disk entries store the compact source dtype; in-process hits
+        alias one read-only array; a fresh process (cleared memcache)
+        reconstructs the identical f32 stack from the compact disk entry."""
+        from pdx.io_host.images import clear_stack_memcache
+
+        monkeypatch.setenv("PDX_STACK_CACHE_DIR", str(tmp_path / "stacks"))
+        clear_stack_memcache()
+        cold = load_images(tiff_dir, max_images=6, cache=True)
+        assert cold.dtype == np.float32
+        # read-only publish: mutating a cached stack must fail loudly
+        with pytest.raises(ValueError):
+            cold[0, 0, 0] = 0.0
+        # memory-level hit: the SAME array object, no decode, no disk read
+        assert load_images(tiff_dir, max_images=6, cache=True) is cold
+        # disk entry is the compact u16 source stack, not the f32 cast
+        (entry,) = (tmp_path / "stacks").glob("*.npy")
+        assert np.load(entry).dtype == np.uint16
+        # cross-process warm (memcache gone): disk entry casts back exactly
+        clear_stack_memcache()
+        warm = load_images(tiff_dir, max_images=6, cache=True)
+        assert warm is not cold and warm.dtype == np.float32
+        np.testing.assert_array_equal(warm, cold)
+        clear_stack_memcache()
+
 
 class TestAnalyzePipeline:
     @pytest.fixture(scope="class")

@@ -100,6 +100,11 @@ def main() -> None:
         _os.environ["PDX_STACK_CACHE_DIR"] = _tempfile.mkdtemp(
             prefix=f"pdx_stack_cache_{name}_"
         )
+        # ... and drop the in-process level too: pipeline N's cold pass must
+        # not hit the stack pipeline N-1 decoded (same content key)
+        from pdx.io_host.images import clear_stack_memcache
+
+        clear_stack_memcache()
         times = []
         for p in ("cold", "warm"):
             t0 = time.perf_counter()
@@ -126,8 +131,9 @@ def main() -> None:
         flush()
 
     results["stack_cache"] = (
-        "fresh dir per pipeline: cold includes decode+cache-write, "
-        "warm hits that pipeline's own cache"
+        "fresh dir + cleared memcache per pipeline: cold includes the full "
+        "decode+cache-write; warm hits that pipeline's own in-process cache "
+        "(zero load I/O, like any long-lived session re-running the suite)"
     )
     flush()
 
