@@ -21,7 +21,21 @@ Design principles (TPU-first, not a port):
 
 __version__ = "0.1.0"
 
+import os as _os
+
 import jax as _jax
+
+# CPU forcing must happen via jax.config BEFORE the first backend init: the
+# axon TPU plugin initializes (and blocks on a wedged tunnel — observed
+# 2026-08-18: a crashed TPU worker hangs even `jax.devices()` for minutes)
+# regardless of the JAX_PLATFORMS / JAX_PLATFORM_NAME env vars. Translating
+# the env request into the honored config knob here makes every entry point
+# that imports pdx (CLI, bench fallback, test harnesses) genuinely
+# CPU-forceable — the only reliable way to run while the tunnel is wedged.
+if "cpu" in (
+    _os.environ.get("JAX_PLATFORMS", "") + _os.environ.get("JAX_PLATFORM_NAME", "")
+):
+    _jax.config.update("jax_platforms", "cpu")
 
 # Sparse-regression recovery is precision-critical: on TPU the default matmul
 # precision lowers f32 GEMMs to one bf16 MXU pass, which corrupts Gram-matrix
