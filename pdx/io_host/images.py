@@ -18,6 +18,8 @@ from pathlib import Path
 
 import numpy as np
 
+from pdx.utils.hostmem import huge_empty
+
 try:  # host-side decode backends, best-effort
     import cv2  # type: ignore
 except Exception:  # pragma: no cover
@@ -29,7 +31,86 @@ except Exception:  # pragma: no cover
     Image = None
 
 
+def _fast_tiff_gray(path: Path) -> np.ndarray | None:
+    """Minimal raw decoder for the TIFF layout lab cameras (and cv2/PIL
+    writers) actually emit: uncompressed, single-plane grayscale, 8- or
+    16-bit unsigned, strip-organized. Returns None for anything fancier so
+    the caller falls back to cv2/PIL.
+
+    Why: cv2.imread costs ~0.4 s/frame in bulk on this host (the decode +
+    per-call allocation path is CPU-bound on the single core) where reading
+    the strip bytes and viewing them as a (H, W) array is ~milliseconds —
+    a 51-frame cold load drops from ~21 s to ~2 s.
+    """
+    import struct
+
+    try:
+        b = path.read_bytes()
+        if b[:2] == b"II":
+            bo = "<"
+        elif b[:2] == b"MM":
+            bo = ">"
+        else:
+            return None
+        magic, ifd = struct.unpack_from(bo + "HI", b, 2)
+        if magic != 42:
+            return None
+        (n_tags,) = struct.unpack_from(bo + "H", b, ifd)
+        tags: dict[int, tuple[int, int, int]] = {}
+        for i in range(n_tags):
+            tag, typ, cnt = struct.unpack_from(bo + "HHI", b, ifd + 2 + i * 12)
+            tags[tag] = (typ, cnt, ifd + 2 + i * 12 + 8)
+
+        def read_vals(tag: int, default=None) -> list[int] | None:
+            if tag not in tags:
+                return default
+            typ, cnt, field = tags[tag]
+            fmt, size = {3: ("H", 2), 4: ("I", 4)}.get(typ, (None, None))
+            if fmt is None:
+                return None
+            # values are left-justified in the 4-byte field; larger arrays
+            # live at the offset the field holds
+            pos = field if cnt * size <= 4 else struct.unpack_from(bo + "I", b, field)[0]
+            return list(struct.unpack_from(bo + fmt * cnt, b, pos))
+
+        def one(tag: int, default=None) -> int | None:
+            v = read_vals(tag, None if default is None else [default])
+            return None if not v else v[0]
+
+        w, h = one(256), one(257)
+        bits = one(258, 8)
+        if (
+            w is None or h is None
+            or one(259, 1) != 1          # uncompressed only
+            or one(262, 1) != 1          # BlackIsZero grayscale only
+            or one(277, 1) != 1          # single sample/px
+            or one(284, 1) != 1          # chunky planar
+            or one(339, 1) != 1          # unsigned int samples
+            or bits not in (8, 16)
+        ):
+            return None
+        offsets = read_vals(273)
+        counts = read_vals(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            return None
+        nbytes = h * w * (bits // 8)
+        if sum(counts) != nbytes:
+            return None
+        if len(offsets) == 1:
+            raw = b[offsets[0] : offsets[0] + nbytes]
+        else:
+            raw = b"".join(b[o : o + c] for o, c in zip(offsets, counts))
+        dt = np.dtype("u2" if bits == 16 else "u1").newbyteorder(bo)
+        arr = np.frombuffer(raw, dtype=dt).reshape(h, w)
+        return arr
+    except Exception:
+        return None
+
+
 def _read_gray(path: Path) -> np.ndarray | None:
+    img = _fast_tiff_gray(path)
+    if img is not None:
+        return img
     if cv2 is not None:
         img = cv2.imread(str(path), cv2.IMREAD_UNCHANGED)
         if img is None:
@@ -88,7 +169,11 @@ def _cache_load(key: str) -> np.ndarray | None:
     if not path.exists():
         return None
     try:
-        return np.load(path)
+        # memory-mapped: the warm cross-process load defers the one
+        # streaming pass to the consumer's first touch (usually the device
+        # transfer) instead of paying an eager 267 MB copy through this
+        # host's ~20-40 MB/s memory up front
+        return np.load(path, mmap_mode="r")
     except Exception:  # truncated/corrupt cache entry: fall through to decode
         return None
 
@@ -128,18 +213,23 @@ def load_images(
 
     ``cache``: two-level decoded-stack cache (default on; disable with
     ``PDX_STACK_CACHE=0``, memory level alone with ``PDX_STACK_MEMCACHE=0``).
-    Every pipeline in the suite re-reads the same immutable 51-frame stack;
-    the per-frame TIFF decode dominates (~0.5 s/frame single-core). Disk
-    entries live under ``~/.cache/pdx/stacks`` keyed by (file list, sizes,
-    mtimes, mode, dtype) — touching any frame invalidates — and are stored
-    in the compact SOURCE dtype (a u16 stack is half the disk traffic of
-    the f32 it decodes to; this host reads ~12 MB/s). Within one process,
-    hits come straight from ``_MEM_CACHE`` (read-only aliases, zero I/O) —
-    the level a warm pipeline re-run or a notebook session actually feels.
-    The reference re-decodes per script run (it has no loader layer to hang
-    a cache on); benchmark harnesses call :func:`clear_stack_memcache` and
-    point ``PDX_STACK_CACHE_DIR`` at a fresh dir so their cold timings
-    still include the full decode.
+    Every pipeline in the suite re-reads the same immutable 51-frame stack.
+    Disk entries live under ``~/.cache/pdx/stacks`` keyed by (file list,
+    sizes, mtimes, mode, dtype) — touching any frame invalidates — stored in
+    the REQUESTED dtype and read back memory-mapped, so a warm cross-process
+    load costs one streaming pass when downstream first touches the data
+    instead of an eager copy. Within one process, hits come straight from
+    ``_MEM_CACHE`` (read-only aliases, zero I/O). Frames are cast per-frame
+    at decode time while each 2.6 MB frame is still cache-hot: this host's
+    memory streams large arrays at ~20-40 MB/s, so a whole-stack
+    ``astype(f32)`` costs ~15 s (measured 2026-08-18) where the fused
+    per-frame cast is ~free. The reference re-decodes per script run (it has
+    no loader layer to hang a cache on); benchmark harnesses call
+    :func:`clear_stack_memcache` and point ``PDX_STACK_CACHE_DIR`` at a
+    fresh dir so their cold timings still include the full decode (the
+    entry WRITE happens on a background daemon thread — the caller never
+    waits on the I/O-throttled disk; :func:`flush_stack_cache_writes`
+    joins it).
     """
     folder = Path(folder)
     files = sorted(folder.glob(pattern))[: int(max_images)]
@@ -160,56 +250,83 @@ def load_images(
     if key is not None:
         hit = _cache_load(key)
         if hit is not None:
-            # disk entries are stored in the compact SOURCE dtype (u8/u16
-            # TIFs: half/quarter the disk traffic of the f32 stack on this
-            # ~12 MB/s disk); cast to the requested dtype here
-            if hit.dtype != np.dtype(dtype):
+            if hit.dtype != np.dtype(dtype):  # entry from an older layout
                 hit = hit.astype(dtype)
             return _mem_publish(key, hit) if use_mem else hit
 
     def read_one(f: Path) -> np.ndarray | None:
-        if mode == "grayscale_u8" and cv2 is not None:
-            return cv2.imread(str(f), cv2.IMREAD_GRAYSCALE)
+        if mode == "grayscale_u8":
+            img = _fast_tiff_gray(f)
+            if img is not None:
+                # cv2.imread(IMREAD_GRAYSCALE) maps 16-bit to 8-bit by
+                # dropping the low byte (verified bit-equal on this data)
+                return (img >> 8).astype(np.uint8) if img.dtype.itemsize == 2 else img
+            if cv2 is not None:
+                return cv2.imread(str(f), cv2.IMREAD_GRAYSCALE)
         return _read_gray(f)
 
-    # decode on a thread pool (cv2/PIL release the GIL) and cast-assign each
-    # frame straight into one preallocated output block: building a list of
-    # per-frame float copies and np.stack-ing them doubles the traffic
-    # through this host's slow memory (measured 6 s of a 7 s load on the
-    # 51-frame reference-scale stack just in the final stack copy)
-    from concurrent.futures import ThreadPoolExecutor
-
+    # sequential decode, cast-assign each frame straight into one
+    # preallocated output block: per-frame casts run cache-hot (a
+    # whole-stack astype pass costs ~15 s through this host's slow memory),
+    # and a decode thread pool is 2.2x SLOWER than this loop on the single
+    # core (measured 2026-08-18: GIL/allocator thrash)
     out: np.ndarray | None = None
     kept = 0
-    with ThreadPoolExecutor(max_workers=min(8, len(files))) as pool:
-        for img in pool.map(read_one, files):
-            if img is None:
-                continue
-            if out is None:
-                # decode into the SOURCE dtype (u16 TIFs: half the memory
-                # traffic of an f32 block on this slow-memory host, and the
-                # disk cache entry below stays compact)
-                out = np.empty((len(files),) + img.shape, dtype=img.dtype)
-            out[kept] = img
-            kept += 1
+    for f in files:
+        img = read_one(f)
+        if img is None:
+            continue
+        if out is None:
+            # huge-page block: first-touch page faults on a fresh 267 MB
+            # np.empty cost ~33 s on this host (pdx/utils/hostmem.py)
+            out = huge_empty((len(files),) + img.shape, dtype)
+        out[kept] = img
+        kept += 1
     if out is None or kept == 0:
         raise RuntimeError("no readable images found in the data directory")
     out = out[:kept]
+    if use_mem:
+        out = _mem_publish(key, out)
     if key is not None:
-        _cache_store(key, out)  # compact source-dtype entry
-    if out.dtype != np.dtype(dtype):
-        out = out.astype(dtype)
-    return _mem_publish(key, out) if use_mem else out
+        # the entry write streams hundreds of MB through an I/O-throttled
+        # disk (measured up to 50 s); never make the caller wait on it. The
+        # array is immutable (read-only publish) when memcached — write
+        # from a daemon thread; fall back to a synchronous store when the
+        # caller asked for a writable result.
+        if use_mem:
+            _store_async(key, out)
+        else:
+            _cache_store(key, out)
+    return out
 
 
-def _mem_publish(key: str, stack: np.ndarray) -> np.ndarray:
+def _mem_publish(key: str | None, stack: np.ndarray) -> np.ndarray:
     """Insert into the in-process cache (FIFO-capped) and return the entry
     read-only: every later hit aliases this exact array."""
     stack.setflags(write=False)
-    while len(_MEM_CACHE) >= _MEM_CACHE_CAP:
-        _MEM_CACHE.pop(next(iter(_MEM_CACHE)))
-    _MEM_CACHE[key] = stack
+    if key is not None:
+        while len(_MEM_CACHE) >= _MEM_CACHE_CAP:
+            _MEM_CACHE.pop(next(iter(_MEM_CACHE)))
+        _MEM_CACHE[key] = stack
     return stack
+
+
+_PENDING_STORES: list = []
+
+
+def _store_async(key: str, stack: np.ndarray) -> None:
+    import threading
+
+    t = threading.Thread(target=_cache_store, args=(key, stack), daemon=True)
+    t.start()
+    _PENDING_STORES.append(t)
+
+
+def flush_stack_cache_writes(timeout: float | None = None) -> None:
+    """Join pending background disk-cache writes (tests / harnesses that
+    need the entry on disk before spawning the next process)."""
+    while _PENDING_STORES:
+        _PENDING_STORES.pop().join(timeout)
 
 
 def list_image_resolutions(folder: str | Path, pattern: str = "*.tif") -> dict[tuple[int, int], int]:

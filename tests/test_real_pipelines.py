@@ -63,8 +63,12 @@ class TestImageIO:
     def test_stack_cache_roundtrip_and_invalidation(self, tiff_dir, tmp_path, monkeypatch):
         """Cache hit returns the decoded stack bit-for-bit; touching a frame
         invalidates the entry (key covers per-file size+mtime_ns)."""
+        from pdx.io_host.images import clear_stack_memcache, flush_stack_cache_writes
+
         monkeypatch.setenv("PDX_STACK_CACHE_DIR", str(tmp_path / "stacks"))
+        clear_stack_memcache()
         cold = load_images(tiff_dir, max_images=6, cache=True)
+        flush_stack_cache_writes()
         assert len(list((tmp_path / "stacks").glob("*.npy"))) == 1
         warm = load_images(tiff_dir, max_images=6, cache=True)
         np.testing.assert_array_equal(cold, warm)
@@ -76,13 +80,39 @@ class TestImageIO:
         f = sorted(tiff_dir.glob("*.tif"))[0]
         _os.utime(f, ns=(f.stat().st_atime_ns, f.stat().st_mtime_ns + 10_000_000))
         load_images(tiff_dir, max_images=6, cache=True)
+        flush_stack_cache_writes()
         assert len(list((tmp_path / "stacks").glob("*.npy"))) == 2
 
+    def test_fast_tiff_decoder_parity(self, tiff_dir):
+        """The raw-TIFF fast path decodes bit-identically to the cv2/PIL
+        path in both modes (16-bit unchanged + cv2's >>8 grayscale_u8)."""
+        from pdx.io_host.images import _fast_tiff_gray
+
+        f = sorted(tiff_dir.glob("*.tif"))[0]
+        fast = _fast_tiff_gray(f)
+        assert fast is not None and fast.dtype == np.uint16
+        try:
+            import cv2
+        except Exception:
+            from PIL import Image
+
+            ref = np.asarray(Image.open(f))
+        else:
+            ref = cv2.imread(str(f), cv2.IMREAD_UNCHANGED)
+            u8 = cv2.imread(str(f), cv2.IMREAD_GRAYSCALE)
+            np.testing.assert_array_equal((fast >> 8).astype(np.uint8), u8)
+        np.testing.assert_array_equal(fast, ref)
+        # non-TIFF bytes fall through to None (caller uses cv2/PIL)
+        bad = f.parent / "notatiff.tif"
+        bad.write_bytes(b"NOPE" * 4)
+        assert _fast_tiff_gray(bad) is None
+        bad.unlink()
+
     def test_stack_cache_levels(self, tiff_dir, tmp_path, monkeypatch):
-        """Disk entries store the compact source dtype; in-process hits
-        alias one read-only array; a fresh process (cleared memcache)
-        reconstructs the identical f32 stack from the compact disk entry."""
-        from pdx.io_host.images import clear_stack_memcache
+        """In-process hits alias one read-only array; a fresh process
+        (cleared memcache) gets the identical stack back memory-mapped from
+        the disk entry (deferred streaming, no eager copy)."""
+        from pdx.io_host.images import clear_stack_memcache, flush_stack_cache_writes
 
         monkeypatch.setenv("PDX_STACK_CACHE_DIR", str(tmp_path / "stacks"))
         clear_stack_memcache()
@@ -93,14 +123,16 @@ class TestImageIO:
             cold[0, 0, 0] = 0.0
         # memory-level hit: the SAME array object, no decode, no disk read
         assert load_images(tiff_dir, max_images=6, cache=True) is cold
-        # disk entry is the compact u16 source stack, not the f32 cast
+        # one disk entry (written on a background thread), requested dtype
+        flush_stack_cache_writes()
         (entry,) = (tmp_path / "stacks").glob("*.npy")
-        assert np.load(entry).dtype == np.uint16
-        # cross-process warm (memcache gone): disk entry casts back exactly
+        assert np.load(entry).dtype == np.float32
+        # cross-process warm (memcache gone): mmap-backed, read-only, exact
         clear_stack_memcache()
         warm = load_images(tiff_dir, max_images=6, cache=True)
         assert warm is not cold and warm.dtype == np.float32
-        np.testing.assert_array_equal(warm, cold)
+        assert isinstance(warm, np.memmap) and not warm.flags.writeable
+        np.testing.assert_array_equal(np.asarray(warm), cold)
         clear_stack_memcache()
 
 
