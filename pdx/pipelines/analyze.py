@@ -140,6 +140,10 @@ class AnalyzeConfig:
     # pyramid thrashes what the frame-at-a-time chain keeps cache-resident —
     # measured 133 s vs 100-115 s warm on the 51-frame synth stack).
     register_mode: str = "auto"  # auto | compose | chain | to_first
+    # re-warp refinement passes per flow (quality/speed dial: 0 = strict
+    # cv2-equivalent, 1 = default speed point, 2 = max quality — see
+    # farneback_register_sequence docstring for the measured tradeoff)
+    register_refine: int = 1
     # extension: add the 25-term 4th-order library (notebook 02) as Model 7
     include_fourth_order: bool = False
     dtype: str = "float64"
@@ -183,13 +187,14 @@ def preprocess(cfg: AnalyzeConfig, U_raw: np.ndarray, timer=None) -> jnp.ndarray
                 mode = _auto_register_mode()
             if mode == "chain":
                 U = sync(farneback_register_sequence(
-                    U, warp_sign=-1.0 if cfg.reference_compat_warp else 1.0
+                    U, warp_sign=-1.0 if cfg.reference_compat_warp else 1.0,
+                    refine=cfg.register_refine,
                 ))
             else:
                 from pdx.register.farneback import farneback_register_sequence_compose
 
                 U = sync(farneback_register_sequence_compose(
-                    U, to_first=(mode == "to_first")
+                    U, to_first=(mode == "to_first"), refine=cfg.register_refine,
                 ))
 
     with st("smooth_crop"):
@@ -818,11 +823,14 @@ def cmd_analyze(argv: list[str]) -> int:
     parser.add_argument("--register-mode",
                         choices=["auto", "compose", "chain", "to_first"],
                         default="auto",
-                        help="auto: compose on accelerators, chain on CPU "
-                        "(default); compose: batched pairwise flows + "
-                        "composition (one program); chain: reference "
+                        help="auto: chain on every backend (measured winner; "
+                        "PDX_REGISTER_AUTO overrides); compose: batched "
+                        "pairwise flows + composition; chain: reference "
                         "sequential warp-to-previous; to_first: anchored "
                         "to frame 0")
+    parser.add_argument("--register-refine", type=int, default=1,
+                        help="re-warp refinement passes per flow "
+                        "(0 = strict cv2-equivalent, 2 = max quality)")
     parser.add_argument("--reference-compat-warp", action="store_true")
     parser.add_argument("--include-fourth-order", action="store_true",
                         help="add the 25-term 4th-order library (notebook 02) as Model 7")
@@ -840,6 +848,7 @@ def cmd_analyze(argv: list[str]) -> int:
         stabilize_translation=args.stabilize,
         registration=not args.no_registration,
         register_mode=args.register_mode,
+        register_refine=args.register_refine,
         reference_compat_warp=args.reference_compat_warp,
         include_fourth_order=args.include_fourth_order,
         dtype=args.dtype,

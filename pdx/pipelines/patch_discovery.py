@@ -49,6 +49,7 @@ class PatchDiscoveryConfig:
     seed: int = 0
     registration: bool = True
     register_mode: str = "auto"  # auto | compose | chain | to_first (see analyze)
+    register_refine: int = 1  # re-warp refinement passes per flow (see analyze)
     rt: int = 2
     rs: int = 3
     deg: int = 3
@@ -163,11 +164,16 @@ def run(cfg: PatchDiscoveryConfig, U_raw: np.ndarray | None = None) -> dict[str,
 
             mode = auto_register_mode()
         if mode == "chain":
-            U = farneback_register_sequence(U, warp_sign=-1.0 if cfg.reference_compat_warp else 1.0)
+            U = farneback_register_sequence(
+                U, warp_sign=-1.0 if cfg.reference_compat_warp else 1.0,
+                refine=cfg.register_refine,
+            )
         else:
             from pdx.register.farneback import farneback_register_sequence_compose
 
-            U = farneback_register_sequence_compose(U, to_first=(mode == "to_first"))
+            U = farneback_register_sequence_compose(
+                U, to_first=(mode == "to_first"), refine=cfg.register_refine,
+            )
     U = gaussian_filter_reflect(U, cfg.denoise_sigma2)
     s, sub = cfg.skip, cfg.subsample
     U = U[:, s:-s:sub, s:-s:sub]
@@ -376,6 +382,9 @@ def cmd_patch_discover(argv: list[str]) -> int:
     parser.add_argument("--register-mode",
                         choices=["auto", "compose", "chain", "to_first"],
                         default="auto")
+    parser.add_argument("--register-refine", type=int, default=1,
+                        help="re-warp refinement passes per flow "
+                        "(0 = strict cv2-equivalent, 2 = max quality)")
     parser.add_argument("--rt", type=int, default=2)
     parser.add_argument("--rs", type=int, default=3)
     parser.add_argument("--deg", type=int, default=3)
@@ -389,7 +398,8 @@ def cmd_patch_discover(argv: list[str]) -> int:
     cfg = PatchDiscoveryConfig(
         data_dir=args.data_dir, output_dir=args.output_dir, max_images=args.max_images,
         seed=args.seed, registration=not args.no_registration,
-        register_mode=args.register_mode, rt=args.rt, rs=args.rs,
+        register_mode=args.register_mode, register_refine=args.register_refine,
+        rt=args.rt, rs=args.rs,
         deg=args.deg, patch=args.patch, overlap=args.overlap,
         samples_per_patch=args.samples_per_patch, model=args.model,
         skip=args.skip, subsample=args.subsample,

@@ -344,8 +344,12 @@ def run(cfg: PatchSindyConfig, U_raw: np.ndarray | None = None) -> dict[str, Any
         U_raw = load_images(
             cfg.data_dir, max_images=cfg.max_images or 10**9, mode="grayscale_u8"
         )
-        U_raw = U_raw / 255.0
-    U = jnp.asarray(U_raw, dtype=dtype)
+        # /255 on DEVICE: a host `U_raw / 255.0` is a full-stack numpy f64
+        # pass (2x 267 MB of fresh-page writes on this host); one fused
+        # device op is free and bit-equivalent after the f32 cast
+        U = jnp.asarray(U_raw, dtype=dtype) / jnp.asarray(255.0, dtype=dtype)
+    else:
+        U = jnp.asarray(U_raw, dtype=dtype)
 
     # pre-denoise (patch_based_sindy.py:88-119)
     U = gaussian_filter_reflect(U, cfg.spatial_sigma)
