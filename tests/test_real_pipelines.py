@@ -257,6 +257,22 @@ class TestAnalyzePipeline:
         out = run(cfg)
         assert np.isfinite(out["best_overall"]["r2"])
 
+    def test_register_refine_plumbing(self, tiff_dir):
+        """register_refine reaches the flow kernel: refine=0 (strict
+        cv2-equivalent) and refine=2 must register differently, and the
+        config default (1) must reproduce an explicit refine=1 exactly."""
+        from pdx.pipelines.analyze import AnalyzeConfig, preprocess
+        from pdx.io_host.images import load_images
+
+        U_raw = np.asarray(load_images(tiff_dir, max_images=5, mode="grayscale_u8"))
+        base = dict(data_dir="unused", max_images=5, registration=True,
+                    register_mode="chain", skip=10, subsample=4)
+        u_default = preprocess(AnalyzeConfig(**base), U_raw)
+        u_r1 = preprocess(AnalyzeConfig(**base, register_refine=1), U_raw)
+        u_r0 = preprocess(AnalyzeConfig(**base, register_refine=0), U_raw)
+        np.testing.assert_array_equal(np.asarray(u_default), np.asarray(u_r1))
+        assert not np.array_equal(np.asarray(u_r0), np.asarray(u_r1))
+
 
 class TestPatchDiscovery:
     def test_pipeline_and_artifacts(self, tiff_dir, tmp_path):
