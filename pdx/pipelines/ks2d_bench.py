@@ -340,6 +340,19 @@ def _fused_fullfield_grid(U_for_ut, U_for_features, DT, dx, dy, alphas, threshol
     return _grid_from_stats(stats, alphas, thresholds)
 
 
+@partial(_jax.jit, static_argnames=("DT", "dx", "dy", "names"))
+def _fused_fullfield_grid_terms(U_for_ut, U_for_features, DT, dx, dy, alphas,
+                                thresholds, names):
+    """:func:`_fused_fullfield_grid` for an arbitrary stencil term list (the
+    rich 9-term library and its advection subsets) via the generic streaming
+    kernel ``fused_ks_gram_terms`` — one HBM pass over every sample."""
+    from pdx.ops.pallas.fused_gram import fused_ks_gram_terms
+
+    Ut = forward_difference_ut(U_for_ut, DT)
+    stats = fused_ks_gram_terms(U_for_features[:-1], Ut, dx=dx, dy=dy, names=names)
+    return _grid_from_stats(stats, alphas, thresholds)
+
+
 def _grid_from_stats(stats, alphas, thresholds):
     """RMS-scaled alpha x threshold STRidge grid + full-set metrics, all from
     (p, p) sufficient statistics — no materialized design matrix."""
@@ -592,13 +605,17 @@ def _run_fast_pointwise_grid(cfg: Ks2dBenchConfig, fr: dict[str, Any], rng: np.r
             names = [n for n in names if n not in ("ux", "uy")]
 
     if cfg.solver == "pallas":
-        if names != ["lap", "bih", "gradsq"] or cfg.derivatives != "finite":
+        if cfg.derivatives != "finite":
             raise ValueError(
-                "solver='pallas' streams the true KS library with finite "
-                "differences; set dictionary='true', derivatives='finite', "
-                "include_advection=False"
+                "solver='pallas' streams finite-difference stencil terms; "
+                "set derivatives='finite'"
             )
         if cfg.method == "blockwise":
+            if names != ["lap", "bih", "gradsq"]:
+                raise ValueError(
+                    "blockwise solver='pallas' streams the true KS library; "
+                    "set dictionary='true', include_advection=False"
+                )
             coeffs_grid, r2g, errg, nactg = _fused_blockwise_grid(
                 fr["U_for_ut"], fr["U_for_features"],
                 float(fr["DT"]), float(fr["dx"]), float(fr["dy"]),
@@ -606,12 +623,21 @@ def _run_fast_pointwise_grid(cfg: Ks2dBenchConfig, fr: dict[str, Any], rng: np.r
                 jnp.asarray(GRID_THRESHOLDS, jnp.float32),
                 int(cfg.block_t), int(cfg.block_x), int(cfg.block_y),
             )
-        else:
+        elif names == ["lap", "bih", "gradsq"]:
             coeffs_grid, r2g, errg, nactg = _fused_fullfield_grid(
                 fr["U_for_ut"], fr["U_for_features"],
                 float(fr["DT"]), float(fr["dx"]), float(fr["dy"]),
                 jnp.asarray(GRID_ALPHAS, jnp.float32),
                 jnp.asarray(GRID_THRESHOLDS, jnp.float32),
+            )
+        else:
+            # rich / advection-extended term lists: generic streaming kernel
+            coeffs_grid, r2g, errg, nactg = _fused_fullfield_grid_terms(
+                fr["U_for_ut"], fr["U_for_features"],
+                float(fr["DT"]), float(fr["dx"]), float(fr["dy"]),
+                jnp.asarray(GRID_ALPHAS, jnp.float32),
+                jnp.asarray(GRID_THRESHOLDS, jnp.float32),
+                tuple(names),
             )
     else:
         Ut_size = (fr["U_for_ut"].shape[0] - 1) * cfg.Nx * cfg.Ny

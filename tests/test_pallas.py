@@ -9,7 +9,13 @@ docs/RESULTS.md) and by ``pdx ks2d-bench --solver pallas``.
 import numpy as np
 import jax.numpy as jnp
 
-from pdx.ops.pallas.fused_gram import fused_ks_gram, fused_ks_gram_reference
+from pdx.ops.pallas.fused_gram import (
+    RICH_TERM_NAMES,
+    _terms_reference,
+    fused_ks_gram,
+    fused_ks_gram_reference,
+    fused_ks_gram_terms,
+)
 
 
 class TestFusedGram:
@@ -66,17 +72,73 @@ class TestFullFieldGridPath:
         worst = max(v["rel_err_pct"] for v in res["gt_errors"].values())
         assert worst < 1.0, res["gt_errors"]
 
-    def test_pallas_solver_requires_true_dictionary(self):
-        import pytest
-
+    def test_bench_pallas_rich_dictionary_recovers_ks(self):
+        """ks2d-bench --dictionary rich --solver pallas: the generic
+        streaming kernel sweeps the full field with the 9-term library and
+        still recovers the true support + coefficients."""
         from pdx.pipelines.ks2d_bench import Ks2dBenchConfig, run
 
         cfg = Ks2dBenchConfig(
             grid_search=True, dictionary="rich", Nx=32, Ny=32, n_seconds=0.2,
             solver="pallas", dtype="float32",
         )
-        with pytest.raises(ValueError, match="pallas"):
+        res = run(cfg)
+        worst = max(v["rel_err_pct"] for v in res["gt_errors"].values())
+        assert worst < 2.0, res["gt_errors"]
+
+    def test_pallas_solver_requires_finite_derivatives(self):
+        import pytest
+
+        from pdx.pipelines.ks2d_bench import Ks2dBenchConfig, run
+
+        cfg = Ks2dBenchConfig(
+            grid_search=True, derivatives="spectral", Nx=32, Ny=32,
+            n_seconds=0.2, solver="pallas", dtype="float32",
+        )
+        with pytest.raises(ValueError, match="finite"):
             run(cfg)
+
+
+class TestFusedGramTerms:
+    def test_rich_matches_reference_interpret(self):
+        rng = np.random.default_rng(3)
+        U = jnp.asarray(rng.normal(size=(8, 32, 128)).astype(np.float32))
+        Ut = jnp.asarray(rng.normal(size=(8, 32, 128)).astype(np.float32))
+        ref = _terms_reference(U, Ut, 0.5, 0.25, RICH_TERM_NAMES)
+        got = fused_ks_gram_terms(
+            U, Ut, dx=0.5, dy=0.25, names=RICH_TERM_NAMES, block_t=4, interpret=True
+        )
+        for k in ("G", "b", "sx", "syy", "sy", "n"):
+            r, g = np.asarray(ref[k]), np.asarray(got[k])
+            np.testing.assert_allclose(g, r, rtol=3e-4, atol=2e-4 * max(np.abs(r).max(), 1.0))
+
+    def test_padding_with_one_term_is_exact(self):
+        """T not divisible by block_t AND 'one' in the term list: the
+        constant field does not vanish on padded frames — the closed-form
+        correction must make the stats exact."""
+        rng = np.random.default_rng(4)
+        U = jnp.asarray(rng.normal(size=(7, 16, 128)).astype(np.float32))
+        Ut = jnp.asarray(rng.normal(size=(7, 16, 128)).astype(np.float32))
+        ref = _terms_reference(U, Ut, 1.0, 1.0, RICH_TERM_NAMES)
+        got = fused_ks_gram_terms(
+            U, Ut, dx=1.0, dy=1.0, names=RICH_TERM_NAMES, block_t=4, interpret=True
+        )
+        for k in ("G", "b", "sx", "syy", "sy", "n"):
+            r, g = np.asarray(ref[k]), np.asarray(got[k])
+            np.testing.assert_allclose(g, r, rtol=3e-4, atol=2e-4 * max(np.abs(r).max(), 1.0))
+
+    def test_advection_subset(self):
+        names = ("lap", "bih", "gradsq", "ux", "uy")
+        rng = np.random.default_rng(5)
+        U = jnp.asarray(rng.normal(size=(6, 16, 128)).astype(np.float32))
+        Ut = jnp.asarray(rng.normal(size=(6, 16, 128)).astype(np.float32))
+        ref = _terms_reference(U, Ut, 0.5, 0.5, names)
+        got = fused_ks_gram_terms(
+            U, Ut, dx=0.5, dy=0.5, names=names, block_t=3, interpret=True
+        )
+        for k in ("G", "b", "sx", "syy", "sy", "n"):
+            r, g = np.asarray(ref[k]), np.asarray(got[k])
+            np.testing.assert_allclose(g, r, rtol=3e-4, atol=2e-4 * max(np.abs(r).max(), 1.0))
 
 
 class TestFusedBlockwise:

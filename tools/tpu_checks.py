@@ -74,6 +74,67 @@ def timing(T: int = 2000, H: int = 100, W: int = 100, K: int = 50) -> dict[str, 
     return results
 
 
+def parity_rich(T: int = 63, H: int = 100, W: int = 100) -> None:
+    from pdx.ops.pallas.fused_gram import (
+        RICH_TERM_NAMES,
+        _terms_reference,
+        fused_ks_gram_terms,
+    )
+
+    rng = np.random.default_rng(2)
+    U = jnp.asarray(rng.normal(size=(T, H, W)), dtype=jnp.float32)
+    Ut = jnp.asarray(rng.normal(size=(T, H, W)), dtype=jnp.float32)
+    dx = dy = 0.5
+    got = fused_ks_gram_terms(
+        U, Ut, dx=dx, dy=dy, names=RICH_TERM_NAMES, block_t=8, interpret=False
+    )
+    ref = jax.jit(lambda U, Ut: _terms_reference(U, Ut, dx, dy, RICH_TERM_NAMES))(U, Ut)
+    scale = float(np.abs(np.asarray(ref["G"])).max())
+    for k in ("G", "b", "sx", "sy", "syy", "n"):
+        a, b = np.asarray(got[k]), np.asarray(ref[k])
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-4 * scale)
+    print(f"parity rich (9-term, ragged T={T}): ok")
+
+
+def timing_rich(T: int = 2000, H: int = 100, W: int = 100, K: int = 50) -> dict[str, float]:
+    from pdx.ops.pallas.fused_gram import (
+        RICH_TERM_NAMES,
+        _terms_reference,
+        fused_ks_gram_terms,
+    )
+
+    rng = np.random.default_rng(2)
+    U = jnp.asarray(rng.normal(size=(T, H, W)), dtype=jnp.float32)
+    Ut = jnp.asarray(rng.normal(size=(T, H, W)), dtype=jnp.float32)
+    dx = dy = 0.5
+
+    def chain(gram_fn):
+        @jax.jit
+        def run(U, Ut):
+            def body(i, carry):
+                out = gram_fn(U + carry, Ut)
+                return out["G"][0, 0] * 1e-30
+
+            return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
+
+        return run
+
+    results = {}
+    for name, fn in [
+        ("pallas", chain(lambda U, Ut: fused_ks_gram_terms(
+            U, Ut, dx=dx, dy=dy, names=RICH_TERM_NAMES, block_t=10, interpret=False))),
+        ("xla", chain(lambda U, Ut: _terms_reference(U, Ut, dx, dy, RICH_TERM_NAMES))),
+    ]:
+        float(fn(U, Ut))  # compile + flip the tunnel to sync dispatch
+        t0 = time.perf_counter()
+        float(fn(U, Ut))
+        per_iter_ms = (time.perf_counter() - t0) / K * 1e3
+        results[name] = per_iter_ms
+        print(f"rich {name}: {per_iter_ms:.3f} ms/iter  (T={T}, {H}x{W}, K={K})")
+    print(f"rich speedup pallas vs xla: {results['xla'] / results['pallas']:.2f}x")
+    return results
+
+
 def parity_blockwise(T: int = 63, H: int = 100, W: int = 100) -> None:
     from pdx.ops.pallas.fused_blockwise import (
         fused_blockwise_gram,
@@ -154,14 +215,18 @@ def main() -> None:
         f"tpu_checks needs a TPU device, got {jax.default_backend()}"
     )
     parity()
+    parity_rich()
     parity_blockwise()
     bench_pallas_solver()
     pointwise = timing()
+    rich = timing_rich()
     blockwise = timing_blockwise()
     if len(sys.argv) > 1:  # stamped battery artifact
         record = {
             "pointwise_ms_per_iter": pointwise,
             "pointwise_speedup": round(pointwise["xla"] / pointwise["pallas"], 2),
+            "rich_ms_per_iter": rich,
+            "rich_speedup": round(rich["xla"] / rich["pallas"], 2),
             "blockwise_ms_per_iter": blockwise,
             "blockwise_speedup": round(blockwise["xla"] / blockwise["pallas"], 2),
         }
