@@ -400,6 +400,21 @@ def _fused_blockwise_grid(U_for_ut, U_for_features, DT, dx, dy, alphas, threshol
     return _grid_from_stats(stats, alphas, thresholds)
 
 
+@partial(_jax.jit, static_argnames=("DT", "dx", "dy", "bt", "bx", "by", "names"))
+def _fused_blockwise_grid_terms(U_for_ut, U_for_features, DT, dx, dy, alphas,
+                                thresholds, bt, bx, by, names):
+    """:func:`_fused_blockwise_grid` for an arbitrary stencil term list via
+    the generic streaming kernel ``fused_blockwise_gram_terms``."""
+    from pdx.ops.pallas.fused_blockwise import fused_blockwise_gram_terms
+
+    Ut = forward_difference_ut(U_for_ut, DT)
+    stats = fused_blockwise_gram_terms(
+        U_for_features[:-1], Ut, dx=dx, dy=dy, names=names,
+        block_t=bt, block_x=bx, block_y=by,
+    )
+    return _grid_from_stats(stats, alphas, thresholds)
+
+
 def _score_grid(coeffs_grid, X_te, y_te):
     preds = jnp.einsum("atp,np->atn", coeffs_grid, X_te)
     resid2 = jnp.sum((preds - y_te[None, None, :]) ** 2, axis=-1)
@@ -611,18 +626,23 @@ def _run_fast_pointwise_grid(cfg: Ks2dBenchConfig, fr: dict[str, Any], rng: np.r
                 "set derivatives='finite'"
             )
         if cfg.method == "blockwise":
-            if names != ["lap", "bih", "gradsq"]:
-                raise ValueError(
-                    "blockwise solver='pallas' streams the true KS library; "
-                    "set dictionary='true', include_advection=False"
+            if names == ["lap", "bih", "gradsq"]:
+                coeffs_grid, r2g, errg, nactg = _fused_blockwise_grid(
+                    fr["U_for_ut"], fr["U_for_features"],
+                    float(fr["DT"]), float(fr["dx"]), float(fr["dy"]),
+                    jnp.asarray(GRID_ALPHAS, jnp.float32),
+                    jnp.asarray(GRID_THRESHOLDS, jnp.float32),
+                    int(cfg.block_t), int(cfg.block_x), int(cfg.block_y),
                 )
-            coeffs_grid, r2g, errg, nactg = _fused_blockwise_grid(
-                fr["U_for_ut"], fr["U_for_features"],
-                float(fr["DT"]), float(fr["dx"]), float(fr["dy"]),
-                jnp.asarray(GRID_ALPHAS, jnp.float32),
-                jnp.asarray(GRID_THRESHOLDS, jnp.float32),
-                int(cfg.block_t), int(cfg.block_x), int(cfg.block_y),
-            )
+            else:
+                coeffs_grid, r2g, errg, nactg = _fused_blockwise_grid_terms(
+                    fr["U_for_ut"], fr["U_for_features"],
+                    float(fr["DT"]), float(fr["dx"]), float(fr["dy"]),
+                    jnp.asarray(GRID_ALPHAS, jnp.float32),
+                    jnp.asarray(GRID_THRESHOLDS, jnp.float32),
+                    int(cfg.block_t), int(cfg.block_x), int(cfg.block_y),
+                    tuple(names),
+                )
         elif names == ["lap", "bih", "gradsq"]:
             coeffs_grid, r2g, errg, nactg = _fused_fullfield_grid(
                 fr["U_for_ut"], fr["U_for_features"],

@@ -181,3 +181,47 @@ class TestFusedBlockwise:
         stats = fused_blockwise_gram(U, Ut, dx=0.5, dy=0.5, block_t=3, block_x=8, block_y=8, interpret=True)
         res = stridge_from_stats(stats, alpha=1e-8, threshold=1e-3)
         np.testing.assert_allclose(np.asarray(res.coeffs), [-1.0, 0.0, -0.5], atol=2e-3)
+
+
+class TestFusedBlockwiseTerms:
+    def _compare(self, names, T, H, W, bt, bx, by, seed=0):
+        from pdx.ops.pallas.fused_blockwise import (
+            fused_blockwise_gram_terms,
+            fused_blockwise_gram_terms_reference,
+        )
+
+        rng = np.random.default_rng(seed)
+        U = jnp.asarray(rng.normal(size=(T, H, W)).astype(np.float32))
+        Ut = jnp.asarray(rng.normal(size=(T, H, W)).astype(np.float32))
+        ref = fused_blockwise_gram_terms_reference(
+            U, Ut, 0.5, 0.25, names=names, block_t=bt, block_x=bx, block_y=by
+        )
+        got = fused_blockwise_gram_terms(
+            U, Ut, dx=0.5, dy=0.25, names=names, block_t=bt, block_x=bx,
+            block_y=by, interpret=True,
+        )
+        for k in ("G", "b", "sx", "syy", "sy", "n"):
+            r, g = np.asarray(ref[k]), np.asarray(got[k])
+            np.testing.assert_allclose(
+                g, r, rtol=3e-4, atol=2e-4 * max(np.abs(r).max(), 1.0), err_msg=k
+            )
+
+    def test_rich_matches_reference(self):
+        self._compare(RICH_TERM_NAMES, T=9, H=32, W=128, bt=3, bx=8, by=8)
+
+    def test_ragged_tail_with_one_term(self):
+        """T not divisible by block_t AND 'one' in the list: the constant
+        field must be masked off the padded frames (block mean of ones stays
+        exactly 1 on ragged temporal tails)."""
+        self._compare(RICH_TERM_NAMES, T=8, H=30, W=126, bt=3, bx=8, by=8, seed=1)
+
+    def test_bench_blockwise_rich_pallas_recovers(self):
+        from pdx.pipelines.ks2d_bench import Ks2dBenchConfig, run
+
+        cfg = Ks2dBenchConfig(
+            grid_search=True, dictionary="rich", method="blockwise",
+            Nx=32, Ny=32, n_seconds=0.2, solver="pallas", dtype="float32",
+        )
+        res = run(cfg)
+        worst = max(v["rel_err_pct"] for v in res["gt_errors"].values())
+        assert worst < 2.0, res["gt_errors"]
