@@ -340,10 +340,18 @@ def resize_area(f: Array, out_h: int, out_w: int) -> Array:
     (``analyze_results.py:213``).
     """
     H, W = f.shape[-2], f.shape[-1]
+    # integer (u8/u16) frames are supported directly: the block mean below
+    # promotes to f32 (exact — block sums of small ints are representable),
+    # and the coverage-weight path computes in f32. Callers ship RAW camera
+    # bytes to the device and let this first program do the float cast.
+    if not jnp.issubdtype(f.dtype, jnp.floating):
+        wdtype = jnp.float32
+    else:
+        wdtype = f.dtype
     if H % out_h == 0 and W % out_w == 0:
         bh, bw = H // out_h, W // out_w
         g = f.reshape(f.shape[:-2] + (out_h, bh, out_w, bw))
-        return g.mean(axis=(-3, -1))
+        return g.astype(wdtype).mean(axis=(-3, -1))
     # general coverage-weighted average along each axis separately
     def axis_weights(n_in: int, n_out: int) -> jnp.ndarray:
         scale = n_in / n_out
@@ -358,11 +366,11 @@ def resize_area(f: Array, out_h: int, out_w: int) -> Array:
                 cov = min(b, i + 1) - max(a, i)
                 if cov > 0:
                     Wnp[o, i] = cov / scale
-        return jnp.asarray(Wnp, dtype=f.dtype)
+        return jnp.asarray(Wnp, dtype=wdtype)
 
     Wh = axis_weights(H, out_h)
     Ww = axis_weights(W, out_w)
-    out = jnp.einsum("oh,...hw->...ow", Wh, f)
+    out = jnp.einsum("oh,...hw->...ow", Wh, f.astype(wdtype))
     return jnp.einsum("pw,...ow->...op", Ww, out)
 
 

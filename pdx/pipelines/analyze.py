@@ -432,7 +432,13 @@ def run(cfg: AnalyzeConfig, U_raw: np.ndarray | None = None, timer=None) -> dict
 
     if U_raw is None:
         with st("load_images"):
-            U_raw = load_images(cfg.data_dir, max_images=cfg.max_images, mode="grayscale_u8")
+            # raw u8 to the device: 4x less tunnel/host traffic than an f32
+            # stack; the fused preprocess head downsamples at the input
+            # dtype and casts on-device (bit-identical, preprocess.py:39-43)
+            U_raw = load_images(
+                cfg.data_dir, max_images=cfg.max_images, mode="grayscale_u8",
+                dtype=np.uint8,
+            )
 
     U_crop = preprocess(cfg, U_raw, timer=timer)
     with st("sliced_fields"):

@@ -147,7 +147,10 @@ def run(cfg: PatchDiscoveryConfig, U_raw: np.ndarray | None = None) -> dict[str,
 
     dtype = resolve_dtype(cfg.dtype)
     if U_raw is None:
-        U_raw = load_images(cfg.data_dir, max_images=cfg.max_images)
+        # raw u16 to the device (4x less tunnel/host traffic than f32); the
+        # fused preprocess head downsamples at the input dtype and casts
+        # on-device (bit-identical, preprocess.py:39-43)
+        U_raw = load_images(cfg.data_dir, max_images=cfg.max_images, dtype=np.uint16)
 
     from pdx.preprocess import resize_denoise_normalize
 

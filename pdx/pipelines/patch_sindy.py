@@ -341,13 +341,15 @@ def run(cfg: PatchSindyConfig, U_raw: np.ndarray | None = None) -> dict[str, Any
 
     dtype = resolve_dtype(cfg.dtype)
     if U_raw is None:
+        # raw u8 to the device (4x less tunnel/host traffic), cast + /255 ON
+        # DEVICE: the host `U_raw / 255.0` was a full-stack numpy f64 pass
+        # (2x 267 MB of fresh-page writes); the device form is bit-equal for
+        # all 256 u8 values (verified)
         U_raw = load_images(
-            cfg.data_dir, max_images=cfg.max_images or 10**9, mode="grayscale_u8"
+            cfg.data_dir, max_images=cfg.max_images or 10**9,
+            mode="grayscale_u8", dtype=np.uint8,
         )
-        # /255 on DEVICE: a host `U_raw / 255.0` is a full-stack numpy f64
-        # pass (2x 267 MB of fresh-page writes on this host); one fused
-        # device op is free and bit-equivalent after the f32 cast
-        U = jnp.asarray(U_raw, dtype=dtype) / jnp.asarray(255.0, dtype=dtype)
+        U = jnp.asarray(U_raw).astype(dtype) / jnp.asarray(255.0, dtype=dtype)
     else:
         U = jnp.asarray(U_raw, dtype=dtype)
 
