@@ -216,7 +216,9 @@ def load_images(
     Every pipeline in the suite re-reads the same immutable 51-frame stack.
     Disk entries live under ``~/.cache/pdx/stacks`` keyed by (file list,
     sizes, mtimes, mode, dtype) — touching any frame invalidates — stored in
-    the REQUESTED dtype and read back memory-mapped, so a warm cross-process
+    the REQUESTED dtype (an integer request is downgraded to float32 when
+    the decoded frames can't be safely cast) and read back memory-mapped, so
+    a warm cross-process
     load costs one streaming pass when downstream first touches the data
     instead of an eager copy. Within one process, hits come straight from
     ``_MEM_CACHE`` (read-only aliases, zero I/O). Frames are cast per-frame
@@ -238,7 +240,10 @@ def load_images(
         npy = sorted(folder.glob("*.npy"))
         if npy:
             U = np.load(npy[0])
-            return U[: int(max_images)].astype(dtype)
+            req = np.dtype(dtype)
+            if np.issubdtype(req, np.integer) and not np.can_cast(U.dtype, req, "safe"):
+                req = np.dtype(np.float32)  # integer request is a hint only
+            return U[: int(max_images)].astype(req)
         raise FileNotFoundError(f"No {pattern} files found in: {folder}")
 
     if cache is None:
@@ -250,9 +255,18 @@ def load_images(
     if key is not None:
         hit = _cache_load(key)
         if hit is not None:
-            if hit.dtype != np.dtype(dtype):  # entry from an older layout
+            # entry from an older layout: upcast only — a float entry under
+            # an integer key means the source frames weren't integer and the
+            # requested dtype was downgraded (see the allocation below)
+            if hit.dtype != np.dtype(dtype) and np.can_cast(hit.dtype, np.dtype(dtype), "safe"):
                 hit = hit.astype(dtype)
-            return _mem_publish(key, hit) if use_mem else hit
+            if use_mem:
+                return _mem_publish(key, hit)
+            # memcache disabled == caller wants a writable result, but
+            # _cache_load returns a read-only memmap: materialize a copy
+            buf = huge_empty(hit.shape, hit.dtype)
+            buf[...] = hit
+            return buf
 
     def read_one(f: Path) -> np.ndarray | None:
         if mode == "grayscale_u8":
@@ -277,9 +291,27 @@ def load_images(
         if img is None:
             continue
         if out is None:
+            # An INTEGER dtype request is a transfer-size hint (ship raw
+            # camera bytes to the device); honor it only when the decoded
+            # frames really are integers that fit. Float or wider-integer
+            # sources fall back to the old float32 default instead of
+            # silently truncating/wrapping through the C cast below.
+            store_dtype = np.dtype(dtype)
+            if np.issubdtype(store_dtype, np.integer) and not np.can_cast(
+                img.dtype, store_dtype, "safe"
+            ):
+                store_dtype = np.dtype(np.float32)
             # huge-page block: first-touch page faults on a fresh 267 MB
             # np.empty cost ~33 s on this host (pdx/utils/hostmem.py)
-            out = huge_empty((len(files),) + img.shape, dtype)
+            out = huge_empty((len(files),) + img.shape, store_dtype)
+        elif np.issubdtype(out.dtype, np.integer) and not np.can_cast(
+            img.dtype, out.dtype, "safe"
+        ):
+            # heterogeneous stack: a later frame no longer fits the integer
+            # block — widen everything stored so far (pathological, one copy)
+            widened = huge_empty(out.shape, np.float32)
+            widened[:kept] = out[:kept]
+            out = widened
         out[kept] = img
         kept += 1
     if out is None or kept == 0:

@@ -83,6 +83,48 @@ class TestImageIO:
         flush_stack_cache_writes()
         assert len(list((tmp_path / "stacks").glob("*.npy"))) == 2
 
+    def test_integer_dtype_request_is_a_safe_hint(self, tmp_path):
+        """dtype=np.uint16 ships raw camera bytes when the source really is
+        u8/u16 — but a float source must fall back to float32 instead of
+        silently truncating/wrapping through the C cast."""
+        PIL = pytest.importorskip("PIL.Image")
+        d = tmp_path / "float_tiffs"
+        d.mkdir()
+        rng = np.random.default_rng(0)
+        F = (rng.random((3, 16, 16)) * 2.0 - 0.5).astype(np.float32)
+        for i, frame in enumerate(F):
+            PIL.fromarray(frame).save(d / f"f_{i}.tif")
+        U = load_images(d, dtype=np.uint16, cache=False)
+        assert U.dtype == np.float32
+        np.testing.assert_array_equal(U, F)
+
+    def test_integer_hint_honored_for_integer_source(self, tiff_dir):
+        U = load_images(tiff_dir, max_images=4, dtype=np.uint16, cache=False)
+        assert U.dtype == np.uint16
+
+    def test_npy_fallback_integer_hint(self, tmp_path):
+        F = np.linspace(-1.0, 1.0, 3 * 4 * 4, dtype=np.float64).reshape(3, 4, 4)
+        np.save(tmp_path / "stack.npy", F)
+        U = load_images(tmp_path, dtype=np.uint16)
+        assert U.dtype == np.float32
+        np.testing.assert_allclose(U, F.astype(np.float32))
+
+    def test_disk_hit_without_memcache_is_writable(
+        self, tiff_dir, tmp_path, monkeypatch
+    ):
+        """PDX_STACK_MEMCACHE=0 is the writable-result escape hatch; the
+        disk-cache hit must not hand back a read-only memmap."""
+        from pdx.io_host.images import clear_stack_memcache
+
+        monkeypatch.setenv("PDX_STACK_CACHE_DIR", str(tmp_path / "stacks"))
+        monkeypatch.setenv("PDX_STACK_MEMCACHE", "0")
+        clear_stack_memcache()
+        cold = load_images(tiff_dir, max_images=4, cache=True)
+        assert cold.flags.writeable
+        warm = load_images(tiff_dir, max_images=4, cache=True)
+        assert warm.flags.writeable
+        warm[0, 0, 0] = 0  # must not raise
+
     def test_fast_tiff_decoder_parity(self, tiff_dir):
         """The raw-TIFF fast path decodes bit-identically to the cv2/PIL
         path in both modes (16-bit unchanged + cv2's >>8 grayscale_u8)."""
