@@ -39,10 +39,7 @@ from pdx.ops.filters import gaussian_filter_reflect
 from pdx.ops.metrics import regression_metrics
 from pdx.ops.linalg import gram_stats
 from pdx.register.phasecorr import stabilize_translation_sequence
-from pdx.register.farneback import (
-    auto_register_mode as _auto_register_mode,
-    farneback_register_sequence,
-)
+from pdx.register.farneback import register_sequence_dispatch as _register_dispatch
 from pdx.solve.stridge import stridge_from_stats
 from pdx.solve.robust import robust_stridge
 from pdx.validate.holdout import split_time
@@ -182,20 +179,10 @@ def preprocess(cfg: AnalyzeConfig, U_raw: np.ndarray, timer=None) -> jnp.ndarray
 
     if cfg.registration:
         with st("registration"):
-            mode = "chain" if cfg.reference_compat_warp else cfg.register_mode
-            if mode == "auto":
-                mode = _auto_register_mode()
-            if mode == "chain":
-                U = sync(farneback_register_sequence(
-                    U, warp_sign=-1.0 if cfg.reference_compat_warp else 1.0,
-                    refine=cfg.register_refine,
-                ))
-            else:
-                from pdx.register.farneback import farneback_register_sequence_compose
-
-                U = sync(farneback_register_sequence_compose(
-                    U, to_first=(mode == "to_first"), refine=cfg.register_refine,
-                ))
+            U = sync(_register_dispatch(
+                U, mode=cfg.register_mode, refine=cfg.register_refine,
+                reference_compat_warp=cfg.reference_compat_warp,
+            ))
 
     with st("smooth_crop"):
         U = gaussian_filter_reflect(U, cfg.denoise_sigma2)

@@ -32,7 +32,6 @@ from pdx.ops.interp import resize_area
 from pdx.ops.filters import gaussian_filter_reflect
 from pdx.ops.metrics import regression_metrics
 from pdx.ops.linalg import gram_stats
-from pdx.register.farneback import farneback_register_sequence
 from pdx.library.localpoly import local_poly_derivatives_batch
 from pdx.solve.stridge import stridge_from_stats
 
@@ -161,22 +160,12 @@ def run(cfg: PatchDiscoveryConfig, U_raw: np.ndarray | None = None) -> dict[str,
         sigma=cfg.denoise_sigma1, eps=1e-12, dtype_name=jnp.dtype(dtype).name,
     )
     if cfg.registration:
-        mode = "chain" if cfg.reference_compat_warp else cfg.register_mode
-        if mode == "auto":
-            from pdx.register.farneback import auto_register_mode
+        from pdx.register.farneback import register_sequence_dispatch
 
-            mode = auto_register_mode()
-        if mode == "chain":
-            U = farneback_register_sequence(
-                U, warp_sign=-1.0 if cfg.reference_compat_warp else 1.0,
-                refine=cfg.register_refine,
-            )
-        else:
-            from pdx.register.farneback import farneback_register_sequence_compose
-
-            U = farneback_register_sequence_compose(
-                U, to_first=(mode == "to_first"), refine=cfg.register_refine,
-            )
+        U = register_sequence_dispatch(
+            U, mode=cfg.register_mode, refine=cfg.register_refine,
+            reference_compat_warp=cfg.reference_compat_warp,
+        )
     U = gaussian_filter_reflect(U, cfg.denoise_sigma2)
     s, sub = cfg.skip, cfg.subsample
     U = U[:, s:-s:sub, s:-s:sub]

@@ -490,9 +490,31 @@ def auto_register_mode() -> str:
     chain (single-core cache locality). PDX_REGISTER_AUTO=compose flips the
     policy for re-measurement (e.g. after the row-folded gather rewrite).
     """
-    import os
-
     return os.environ.get("PDX_REGISTER_AUTO", "chain")
+
+
+def register_sequence_dispatch(
+    U: Array, *, mode: str, refine: int, reference_compat_warp: bool = False
+) -> Array:
+    """Resolve + run the register-mode policy shared by the real-image
+    pipelines (analyze / patch discovery) — ONE place so a policy change
+    (e.g. flipping ``auto``) cannot drift between them.
+
+    ``reference_compat_warp`` forces the chain schedule with the reference's
+    inverted warp sign (the reference bug preserved behind the flag);
+    ``mode='auto'`` resolves via :func:`auto_register_mode`; anything but
+    ``'chain'`` dispatches the batched compose pyramid
+    (``to_first`` anchors every flow to frame 0).
+    """
+    if reference_compat_warp:
+        return farneback_register_sequence(U, warp_sign=-1.0, refine=refine)
+    if mode == "auto":
+        mode = auto_register_mode()
+    if mode == "chain":
+        return farneback_register_sequence(U, refine=refine)
+    return farneback_register_sequence_compose(
+        U, to_first=(mode == "to_first"), refine=refine
+    )
 
 
 def _flow_chunk_elems() -> int:
@@ -507,8 +529,6 @@ def _flow_chunk_elems() -> int:
     per-frame dispatch chain on chip (transport 16.7 s -> 48.5 s). Override
     with PDX_FLOW_CHUNK_ELEMS (tools/flow_bench.py sweeps it on the chip).
     """
-    import os
-
     return int(os.environ.get("PDX_FLOW_CHUNK_ELEMS", str(1 << 22)))
 
 
@@ -538,6 +558,10 @@ def batched_pair_flows(
     the program) instead of forcing a second compile at a ragged shape.
     """
     B, H, W = a_all.shape[-3], a_all.shape[-2], a_all.shape[-1]
+    if B == 0:  # e.g. a single-frame stack: no pairs, no flows
+        dt = a_all.dtype if jnp.issubdtype(a_all.dtype, jnp.floating) else jnp.float32
+        z = jnp.zeros((0, H, W), dt)
+        return z, z
     if chunk_elems is None:
         chunk_elems = _flow_chunk_elems()
     chunk = max(1, min(B, chunk_elems // (H * W)))

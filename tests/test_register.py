@@ -335,6 +335,17 @@ class TestBatchedPairFlows:
         np.testing.assert_allclose(np.asarray(chk_x), np.asarray(one_x), rtol=1e-8, atol=1e-12)
         np.testing.assert_allclose(np.asarray(chk_y), np.asarray(one_y), rtol=1e-8, atol=1e-12)
 
+    def test_empty_pair_list_returns_empty_flows(self):
+        """B=0 (e.g. a single-frame stack through farneback_flow_pairs) must
+        return (0,H,W) flows, not crash on the chunk-start arithmetic."""
+        from pdx.register.farneback import batched_pair_flows, farneback_flow_pairs
+
+        Z = jnp.zeros((0, 32, 32))
+        fx, fy = batched_pair_flows(Z, Z, flow_static=(("levels", 2),))
+        assert fx.shape == (0, 32, 32) and fy.shape == (0, 32, 32)
+        fx, fy = farneback_flow_pairs(jnp.zeros((1, 32, 32)), levels=2)
+        assert fx.shape == (0, 32, 32)
+
     def test_batched_flow_matches_single(self):
         """farneback_flow(batched=True) over a batch == per-pair single calls
         (the flat-gather formulation changes dispatch, not math)."""
