@@ -32,8 +32,14 @@ import jax as _jax
 # the env request into the honored config knob here makes every entry point
 # that imports pdx (CLI, bench fallback, test harnesses) genuinely
 # CPU-forceable — the only reliable way to run while the tunnel is wedged.
+# Only an EXACT sole-"cpu" request (in either variable) triggers the rewrite:
+# a priority list like JAX_PLATFORMS="tpu,cpu" means "prefer TPU, allow CPU
+# fallback" and must not be hijacked into CPU-only. The vars are checked
+# INDEPENDENTLY because this session exports an ambient JAX_PLATFORMS=axon:
+# `JAX_PLATFORM_NAME=cpu pdx ...` layered over it must still force CPU.
 if "cpu" in (
-    _os.environ.get("JAX_PLATFORMS", "") + _os.environ.get("JAX_PLATFORM_NAME", "")
+    (_os.environ.get("JAX_PLATFORMS") or "").strip().lower(),
+    (_os.environ.get("JAX_PLATFORM_NAME") or "").strip().lower(),
 ):
     _jax.config.update("jax_platforms", "cpu")
 

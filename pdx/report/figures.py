@@ -92,8 +92,13 @@ def generate_presentation_figures_minimal(
             p = slides_dir / "FIG_DATA_FRAMES.png"
             plt.savefig(p, dpi=150, bbox_inches="tight")
             outs.append(p)
-        except (OSError, RuntimeError, FileNotFoundError, ValueError):
-            pass  # no readable data dir: the artifact-only assets still render
+        except Exception as e:
+            # skip-and-continue parity with the reference: a bad data dir or
+            # an undecodable frame (cv2.error, PIL TypeError, ...) must not
+            # abort the artifact-only assets — but say so instead of hiding it
+            import warnings
+
+            warnings.warn(f"FIG_DATA_FRAMES skipped: {type(e).__name__}: {e}")
         finally:
             if fig is not None:
                 plt.close(fig)

@@ -14,7 +14,8 @@ times, at the two production shapes:
       - compose: farneback_register_sequence_compose at chunk sizes
         {4, 12, 50} pairs/program
   * patch scale — 256 independent 256x256 pairs (a slice of patch-sindy's
-    P*(T-1) flow grid) at chunk sizes {32, 128, 256}
+    P*(T-1) flow grid) at chunk sizes {32, 128} (256 deliberately dropped:
+    that config crashed the TPU worker — see the NOTE at the sweep loop)
 
 Timing is chained-iteration with ONE device->host read at the end:
 ``block_until_ready`` returns at enqueue on the axon tunnel and must not be

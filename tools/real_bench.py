@@ -18,6 +18,7 @@ transport_pde_discovery.py 276.4 s.
 from __future__ import annotations
 
 import json
+import shutil as _shutil
 import sys
 import time
 from pathlib import Path
@@ -97,9 +98,8 @@ def main() -> None:
         import os as _os
         import tempfile as _tempfile
 
-        _os.environ["PDX_STACK_CACHE_DIR"] = _tempfile.mkdtemp(
-            prefix=f"pdx_stack_cache_{name}_"
-        )
+        _tmp_cache = _tempfile.mkdtemp(prefix=f"pdx_stack_cache_{name}_")
+        _os.environ["PDX_STACK_CACHE_DIR"] = _tmp_cache
         # ... and drop the in-process level too: pipeline N's cold pass must
         # not hit the stack pipeline N-1 decoded (same content key)
         from pdx.io_host.images import clear_stack_memcache
@@ -122,6 +122,13 @@ def main() -> None:
                 "speedup_warm": round(REF_CPU[name] / times[1], 2),
             }
         print(f"{name}: {results[name]}", flush=True)
+        # drop the throwaway cache dir (~267 MB/pipeline at reference scale;
+        # a wedge-heavy day re-runs this section many times) — join the
+        # background entry write first so rmtree doesn't race it
+        from pdx.io_host.images import flush_stack_cache_writes
+
+        flush_stack_cache_writes()
+        _shutil.rmtree(_tmp_cache, ignore_errors=True)
         # cold-run per-stage analyze breakdown (VERDICT r2 #2: the stage
         # table behind the analyze wall-clock)
         if name == "analyze" and an_timer.stages:
