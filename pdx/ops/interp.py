@@ -159,27 +159,34 @@ def bilinear_sample_reflect(f: Array, x: Array, y: Array) -> Array:
 
 
 def _gather2d_rowfold_batch(f: Array, ix: Array, iy: Array) -> Array:
-    """Per-batch-element gather as a plain 2-index advanced-index gather.
+    """Per-batch-element 2-D gather, lowered to the chip-measured winner.
 
     ``f`` is (B, H, W) or (C, B, H, W) — channel axis FIRST in the batched
     form; ``ix``/``iy`` are integer (B, h, w) index arrays that DIFFER per
-    batch element. Folding the batch axis into the ROW index
-    (``f.reshape(B*H, W)[b*H + ix, iy]``) reproduces the exact gather
-    structure of the fast unbatched path ``f[..., ix, iy]`` — a plain gather
-    with two collapsed dims and NO batching dims. Two prior formulations
-    measured slower on chip:
+    batch element. Every candidate batched formulation was A/B'd on the
+    v5e (tools/gather_bench.py, battery_20260818T120920Z/gather_bench.json,
+    B=8 512x640):
 
-      * ``vmap`` of ``f[ix, iy]`` lowers to a gather with batching
-        dimensions — the pathologically slow XLA:TPU path (100-400x,
-        round-2 notes);
-      * flattening everything into ONE 1-D ``jnp.take`` (round-3) lowers to
-        per-element slices and materializes multi-GB s32 index tensors —
-        measured 3.5-8x slower PER FLOW than the unbatched dispatch chain
-        and the source of the 27.5 GB patch-grid OOM
-        (battery_20260817T192554Z/flow_bench.json).
+      * (B, H, W): flat 1-D ``jnp.take`` with precomputed linear indices —
+        20.7 ms vs 28.3 ms for the row-folded 2-index gather.
+      * (C, B, H, W): CHANNEL-LAST row-take — transpose the operand to
+        (B, H, W, C), flatten the leading three axes, and ``take`` whole
+        C-vectors per pixel index (14.6 ms at C=5 vs 153.4 ms row-folded /
+        114.4 ms flat-take-channel-first, ~10x). TPU gather cost is
+        index-count-bound: one index fetching a contiguous C-vector beats C
+        scalar-indexed fetches, and the layout transpose is free (the
+        pre-transposed variant measured 14.5 ms).
+
+    Two older formulations stay documented as known-bad: ``vmap`` of
+    ``f[ix, iy]`` lowers to a gather with batching dimensions (the
+    pathological 100-400x XLA:TPU path, round-2 notes), and one giant
+    flat take over (B, C, H, W) operands materializes multi-GB s32 index
+    tensors (the 27.5 GB patch-grid OOM,
+    battery_20260817T192554Z/flow_bench.json).
     """
     # shapes are static at trace time: refuse silently-wrapping int32 index
-    # arithmetic (B*H >= 2^31 rows would clip with no error)
+    # arithmetic (flat indices reach B*H*W, or B*H*W*C elements via the
+    # take row count, before the 2^31 boundary)
     if f.size >= 2**31:
         raise ValueError(
             f"gather operand has {f.size} elements (>= 2^31): int32 "
@@ -187,13 +194,13 @@ def _gather2d_rowfold_batch(f: Array, ix: Array, iy: Array) -> Array:
         )
     if f.ndim == 3:
         B, H, W = f.shape
-        rows = jnp.arange(B, dtype=jnp.int32)[:, None, None] * H + ix
-        return f.reshape(B * H, W)[rows, iy]
+        idx = jnp.arange(B, dtype=jnp.int32)[:, None, None] * (H * W) + ix * W + iy
+        return jnp.take(f.reshape(-1), idx.reshape(-1)).reshape(ix.shape)
     C, B, H, W = f.shape
-    rows = jnp.arange(B, dtype=jnp.int32)[:, None, None] * H + ix
-    # channel stays a leading offset dim exactly like the unbatched
-    # f[..., ix, iy]: one index pair fetches all C channels
-    return f.reshape(C, B * H, W)[:, rows, iy]
+    fc = jnp.moveaxis(f, 0, -1).reshape(B * H * W, C)
+    idx = (jnp.arange(B, dtype=jnp.int32)[:, None, None] * H + ix) * W + iy
+    # (B, h, w, C) -> channel back to the leading axis for the callers
+    return jnp.moveaxis(jnp.take(fc, idx, axis=0), -1, 0)
 
 
 def bilinear_sample_reflect_batch(f: Array, x: Array, y: Array) -> Array:

@@ -66,9 +66,15 @@ class PatchSindyConfig:
     # batch the TIME axis too: all P*(T-1) pairwise flows as ONE flat-gather
     # pyramid program, per-patch cumulative composition to to-first flows
     # (farneback.compose_flow_chain), one batched warp — ~3 device programs
-    # total instead of T-1 chained dispatches. Falls back to the per-step
-    # chain when False.
-    flow_compose: bool = True
+    # total instead of T-1 chained dispatches. Default OFF: the chip A/B
+    # (flow_bench 2026-08-17T19:25Z, confirmed by flow_quick in
+    # battery_20260818T120920Z) measured the lax.scan chain at ~99-146
+    # ms/flow, beating the composed flat-gather pyramid at every chunk size
+    # — the big batched gathers are the slow axis on TPU, and the chain
+    # avoids them while keeping one-program dispatch. Kept as a flag for
+    # A/B; quality of the two paths is pinned close by
+    # tests/test_more_pipelines.py::test_flow_compose_close_to_chain.
+    flow_compose: bool = False
     max_patches: int | None = None
     var_suppress_factor: float = 2.0
     dtype: str = "float64"

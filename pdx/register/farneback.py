@@ -185,9 +185,11 @@ def _flow_iteration(exp1, exp2, flow, winsize, gaussian_win, batched=False):
     """One Farnebäck displacement-update iteration at a fixed level.
 
     ``batched=True``: all fields carry a leading batch axis (independent
-    frame pairs, e.g. a patch grid) and the expansion fetch runs as a flat
-    row-folded gather (``bilinear_sample_reflect_cbatch``) — the vmap-style gather
-    with batching dimensions is the op XLA:TPU lowers 100-400x slower.
+    frame pairs, e.g. a patch grid) and the expansion fetch runs as a
+    channel-last row-take gather (``bilinear_sample_reflect_cbatch``, the
+    chip-measured winner — gather_bench battery_20260818T120920Z) — the
+    vmap-style gather with batching dimensions is the op XLA:TPU lowers
+    100-400x slower.
     """
     _c1, b1x, b1y, a1xx, a1yy, a1xy = exp1
     _c2, b2x, b2y, a2xx, a2yy, a2xy = exp2
@@ -203,9 +205,10 @@ def _flow_iteration(exp1, exp2, flow, winsize, gaussian_win, batched=False):
     # is index-arithmetic-bound, so five separate 512^2 fetches cost ~61 ms
     # where one (5, H, W) fetch costs ~13 ms (measured on v5e)
     if batched:
-        # channel-FIRST stack (5, B, H, W): the row-folded gather then has
-        # the exact structure of the fast unbatched f[..., ix, iy] path —
-        # channel as offset dim, no transpose (interp.py notes)
+        # channel-FIRST stack (5, B, H, W): the sampler transposes it
+        # channel-LAST internally so each pixel index fetches one contiguous
+        # 5-vector — the measured-fastest batched formulation (interp.py
+        # notes; ~10x over the row-folded/flat channel-first gathers)
         stack5 = jnp.stack([a2xx, a2yy, a2xy, b2x, b2y], axis=0)
         f_axx, f_ayy, f_axy, f_b2x, f_b2y = bilinear_sample_reflect_cbatch(
             stack5, xr, xc

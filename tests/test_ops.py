@@ -240,6 +240,33 @@ class TestInterp:
         assert np.isclose(got[0, 1], f[0, 2])  # -2 -> 2 on y
         assert np.isclose(got[0, 2], f[6, 7])  # 8 -> 6, 9 -> 7
 
+    def test_batched_samplers_match_unbatched(self):
+        # pins the batched-gather lowering (flat take / channel-last take,
+        # rewired to the chip-measured winners in gather_bench
+        # battery_20260818T120920Z) against the per-element unbatched path
+        from pdx.ops.interp import (
+            bilinear_sample_reflect_batch,
+            bilinear_sample_reflect_cbatch,
+        )
+
+        rng = np.random.default_rng(21)
+        B, C, H, W, h, w = 3, 5, 17, 13, 9, 11
+        f3 = jnp.asarray(rng.normal(size=(B, H, W)), jnp.float32)
+        f4 = jnp.asarray(rng.normal(size=(C, B, H, W)), jnp.float32)
+        x = jnp.asarray(rng.uniform(-2, H + 1, size=(B, h, w)), jnp.float32)
+        y = jnp.asarray(rng.uniform(-2, W + 1, size=(B, h, w)), jnp.float32)
+        got3 = np.asarray(bilinear_sample_reflect_batch(f3, x, y))
+        want3 = np.stack(
+            [np.asarray(bilinear_sample_reflect(f3[b], x[b], y[b])) for b in range(B)]
+        )
+        np.testing.assert_allclose(got3, want3, rtol=1e-6, atol=1e-6)
+        got4 = np.asarray(bilinear_sample_reflect_cbatch(f4, x, y))
+        want4 = np.stack(
+            [np.asarray(bilinear_sample_reflect(f4[:, b], x[b], y[b])) for b in range(B)],
+            axis=1,
+        )
+        np.testing.assert_allclose(got4, want4, rtol=1e-6, atol=1e-6)
+
 
 class TestMetrics:
     def test_rmse_r2(self):

@@ -1,0 +1,100 @@
+"""Diagnose the bench patch-ensemble warm time, stage by stage.
+
+bench.py's `_patch_ensemble_seconds` recorded 18.64 s warm on the chip
+(battery_20260818T120920Z) vs the 3.98-4.38 s round-2 record on the same
+workload — this tool attributes the warm time to pipeline stages so the
+regression can be pinned to a code change rather than guessed at.
+
+Usage (healthy tunnel, nothing else on the chip):
+    python tools/diag_bench_patch.py
+
+Timing convention: one scalar device->host read per stage to force
+completion (block_until_ready returns at enqueue on the axon tunnel).
+The first read drops the tunnel into its ~30 ms/dispatch slow mode, which
+is the SAME mode bench.py's patch section runs in (the ks2d section reads
+results first) — so these stage times are representative of the bench
+record, not of a fresh process.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    import pdx  # noqa: F401  (precision pins)
+    from tools.make_synth_stack import make_stack
+    from pdx.pipelines.patch_discovery import PatchDiscoveryConfig, run as pd_run
+    from pdx.preprocess import resize_denoise_normalize
+    from pdx.register.farneback import register_sequence_dispatch
+    from pdx.ops.filters import gaussian_filter_reflect
+
+    U_raw = make_stack(T=51, H=512, W=640).astype(np.float64)
+    cfg = PatchDiscoveryConfig(
+        data_dir="unused", write_artifacts=False, skip=12, subsample=6
+    )
+
+    def sync(x) -> None:
+        jnp.asarray(x).sum().item()
+
+    # ---- full-pipeline warmup + warm timing (mirrors bench.py) ----
+    pd_run(cfg, U_raw=U_raw)
+    t0 = time.perf_counter()
+    out = pd_run(cfg, U_raw=U_raw)
+    full_warm = time.perf_counter() - t0
+    print(f"full pipeline warm: {full_warm:.2f} s "
+          f"(backend={jax.default_backend()})")
+
+    # ---- stage attribution (each stage warmed once, then timed) ----
+    from pdx.utils.precision import resolve_dtype
+
+    dtype = resolve_dtype(cfg.dtype)
+    T0, H0, W0 = U_raw.shape
+
+    def stage(name, fn, *args):
+        fn(*args)  # warm
+        t0 = time.perf_counter()
+        r = fn(*args)
+        sync(r if not isinstance(r, tuple) else r[0])
+        print(f"  {name:28s} {time.perf_counter() - t0:7.3f} s")
+        return r
+
+    t_ship0 = time.perf_counter()
+    U_dev = jnp.asarray(U_raw)
+    sync(U_dev[0, 0, :2])
+    print(f"  {'host->device ship (f64 np)':28s} {time.perf_counter() - t_ship0:7.3f} s")
+
+    U = stage(
+        "resize_denoise_normalize",
+        lambda a: resize_denoise_normalize(
+            a, out_h=H0 // cfg.downsample, out_w=W0 // cfg.downsample,
+            sigma=cfg.denoise_sigma1, eps=1e-12, dtype_name=jnp.dtype(dtype).name,
+        ),
+        U_dev,
+    )
+    U_reg = stage(
+        "registration (dispatch)",
+        lambda a: register_sequence_dispatch(
+            a, mode=cfg.register_mode, refine=cfg.register_refine,
+            reference_compat_warp=cfg.reference_compat_warp,
+        ),
+        U,
+    )
+    stage("denoise2", lambda a: gaussian_filter_reflect(a, cfg.denoise_sigma2), U_reg)
+
+    # remainder = full - (ship + preprocess + registration + denoise2):
+    # extraction + local-poly fits + aggregation + host reads
+    print("coeff shape:", np.asarray(out["patch_coeffs"]).shape)
+
+
+if __name__ == "__main__":
+    main()

@@ -226,4 +226,12 @@ if [ -z "$FAILED" ]; then
 else
   note "battery INCOMPLETE (failed:$FAILED)"
 fi
+
+# measurement-history invariant (CLAUDE.md): stamped artifacts must be
+# git-tracked. Fail loudly in STATUS when this run leaves any untracked so
+# the post-battery commit cannot be forgotten silently.
+UNTRACKED=$(git -C "$(dirname "$0")/.." status --porcelain docs/measurements 2>/dev/null | grep '^??' || true)
+if [ -n "$UNTRACKED" ]; then
+  note "UNTRACKED ARTIFACTS (commit them): $(echo "$UNTRACKED" | tr '\n' ' ')"
+fi
 cp "$STATUS" outputs/tpu_battery_status.txt 2>/dev/null || true
