@@ -17,6 +17,7 @@ a bounded while_loop vmapped over patch sequences.
 from __future__ import annotations
 
 import dataclasses
+import os
 from dataclasses import dataclass
 from functools import partial
 from pathlib import Path
@@ -63,18 +64,20 @@ class PatchSindyConfig:
     # single-patch flows; identical math per patch (flat-gather formulation,
     # see ops/interp.py::_gather2d_rowfold_batch)
     flow_batch: bool = True
-    # batch the TIME axis too: all P*(T-1) pairwise flows as ONE flat-gather
-    # pyramid program, per-patch cumulative composition to to-first flows
-    # (farneback.compose_flow_chain), one batched warp — ~3 device programs
-    # total instead of T-1 chained dispatches. Default OFF: the chip A/B
-    # (flow_bench 2026-08-17T19:25Z, confirmed by flow_quick in
-    # battery_20260818T120920Z) measured the lax.scan chain at ~99-146
-    # ms/flow, beating the composed flat-gather pyramid at every chunk size
-    # — the big batched gathers are the slow axis on TPU, and the chain
-    # avoids them while keeping one-program dispatch. Kept as a flag for
-    # A/B; quality of the two paths is pinned close by
+    # batch the TIME axis too: all P*(T-1) pairwise flows as chunked
+    # flat-gather pyramid programs, per-patch cumulative composition to
+    # to-first flows (farneback.compose_flow_chain), one batched warp —
+    # a handful of device programs instead of T-1 chained dispatches.
+    # None = auto: COMPOSE on accelerators, CHAIN on CPU. The post-
+    # gather-rewrite chip A/B (battery_20260818T120920Z/flow_bench.json,
+    # patch_scale) measured compose at 22.6 ms/pair (chunk=32x256^2, the
+    # 2^21 PDX_FLOW_CHUNK_ELEMS default) vs ~69 ms/pair for the lax.scan
+    # chain — a 3x win now that the channel-last take lowering removed the
+    # gather tax that made compose lose the 19:25Z A/B. CPU stays chain
+    # (single-core cache locality; compose's big gathers thrash). Quality
+    # of the two paths is pinned close by
     # tests/test_more_pipelines.py::test_flow_compose_close_to_chain.
-    flow_compose: bool = False
+    flow_compose: bool | None = None
     max_patches: int | None = None
     var_suppress_factor: float = 2.0
     dtype: str = "float64"
@@ -307,6 +310,21 @@ def _compose_all_finish(seqs, fx, fy):
     return jnp.concatenate([seqs[:, :1], warped], axis=1), q
 
 
+def _resolve_flow_compose(flow_compose: bool | None) -> bool:
+    """Resolve the flow_compose auto policy (None -> backend-dependent).
+
+    Compose on accelerators (3x measured win at patch scale with the
+    channel-last gather + 2^21 chunking — see PatchSindyConfig.flow_compose),
+    chain on CPU. PDX_FLOW_COMPOSE=0/1 overrides for A/B on the chip.
+    """
+    env = os.environ.get("PDX_FLOW_COMPOSE")
+    if env is not None:
+        return env not in ("0", "false", "chain")
+    if flow_compose is not None:
+        return flow_compose
+    return jax.default_backend() != "cpu"
+
+
 def _flow_register_compose_all(seqs):
     """Per-patch registration with BOTH the patch and time axes batched.
 
@@ -418,7 +436,7 @@ def run(cfg: PatchSindyConfig, U_raw: np.ndarray | None = None) -> dict[str, Any
     elif (
         cfg.registration_method == "optical_flow"
         and cfg.flow_batch
-        and cfg.flow_compose
+        and _resolve_flow_compose(cfg.flow_compose)
     ):
         # patch AND time axes batched: ~3 device programs for the whole
         # registration stage (see _flow_register_compose_all)
@@ -542,16 +560,20 @@ def cmd_patch_sindy(argv: list[str]) -> int:
     parser.add_argument("--flow-scope", choices=["patch", "frame"], default="patch",
                         help="optical_flow granularity: per-patch (reference parity) or whole-frame")
     parser.add_argument("--max-patches", type=int, default=None)
-    parser.add_argument("--no-flow-compose", action="store_true",
-                        help="use the per-time-step chained dispatch structure "
-                        "instead of the one-shot compose path (A/B timing)")
+    parser.add_argument("--flow-impl", choices=["auto", "compose", "chain"],
+                        default="auto",
+                        help="per-patch flow execution: chunked compose "
+                        "pyramid vs per-time-step chain (auto = compose on "
+                        "accelerators, chain on CPU — the chip-measured "
+                        "policy; see PatchSindyConfig.flow_compose)")
     args = parser.parse_args(argv)
     out = run(
         PatchSindyConfig(
             data_dir=args.data_dir, output_dir=args.output_dir, max_images=args.max_images,
             patch_size=args.patch_size, overlap=args.overlap,
             registration_method=args.registration, max_patches=args.max_patches,
-            flow_scope=args.flow_scope, flow_compose=not args.no_flow_compose,
+            flow_scope=args.flow_scope,
+            flow_compose={"auto": None, "compose": True, "chain": False}[args.flow_impl],
         )
     )
     print(f"Valid patches: {out['n_patches']}  avg quality: {out['avg_quality']:.4f}")

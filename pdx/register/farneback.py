@@ -486,12 +486,18 @@ def _smooth_warp(mov, fx, fy, sign, ksize: int, sigma: float):
 def auto_register_mode() -> str:
     """Resolve register_mode='auto' (analyze / patch-discovery pipelines).
 
-    Chain on every backend, from measured data: chip A/B
+    Chain on every backend. The original chip A/B
     (battery_20260817T192554Z/flow_bench.json) put the sequential chain at
     7.3 s for 50 512x640 flows vs 25.9-56.7 s for the batched compose
-    pyramid at ANY chunk size with the flat-gather lowering; CPU was always
-    chain (single-core cache locality). PDX_REGISTER_AUTO=compose flips the
-    policy for re-measurement (e.g. after the row-folded gather rewrite).
+    pyramid at ANY chunk size; after the channel-last gather rewrite the gap
+    narrowed to 77-84 ms/flow compose (chunk 2-4) vs 103 ms/flow chain
+    (battery_20260818T120920Z/flow_bench.json) — still chain here, because
+    the ~1.3x flow-level win does not cover compose's different registration
+    semantics (to-first composed flows accumulate interpolation blur over
+    the chain; see register/quality tests), while the PATCH pipelines' pair
+    flows — where compose wins 3x — have no such semantic change and take
+    the compose path via their own flow_compose auto policy.
+    PDX_REGISTER_AUTO=compose flips this policy for re-measurement.
     """
     return os.environ.get("PDX_REGISTER_AUTO", "chain")
 
@@ -526,13 +532,20 @@ def _flow_chunk_elems() -> int:
     The flat-gather pyramid needs ~70 f32 of HLO temp per pixel per pair
     (measured: a 1500-pair 256^2 program asked for 27.5 GB of HBM temps on
     a 16 GB v5e — OOM, battery_20260817T182926Z). Chunking the independent
-    pair axis bounds the working set: at the default 2^22 px-pairs a chunk's
-    temps stay ~1.2 GB, small enough to keep XLA off the spill/transpose-copy
-    paths that made the one-giant-program formulation SLOWER than the
-    per-frame dispatch chain on chip (transport 16.7 s -> 48.5 s). Override
-    with PDX_FLOW_CHUNK_ELEMS (tools/flow_bench.py sweeps it on the chip).
+    pair axis bounds the working set. Default 2^21 px-pairs (~0.6 GB of
+    temps): the post-gather-rewrite chip sweep
+    (battery_20260818T120920Z/flow_bench.json, channel-last take lowering)
+    measured the best per-pair cost right at this size — 22.6 ms/pair at
+    chunk=32x256^2 (=2^21) vs 60.7 ms/pair at chunk=128, and 77-84 ms/flow
+    at chunk 2-4 of 512x640 (2^19.3-2^20.3) vs 291 ms/flow at chunk=12
+    (2^22.2): there is a hard cliff just above 2^21 where XLA's gather-index
+    temps push programs onto spill/transpose-copy paths (the same cliff that
+    made the one-giant-program formulation SLOWER than the dispatch chain —
+    transport 16.7 s -> 48.5 s — and a 1500-pair program ask for 27.5 GB,
+    battery_20260817T182926Z). Override with PDX_FLOW_CHUNK_ELEMS
+    (tools/flow_bench.py sweeps it on the chip).
     """
-    return int(os.environ.get("PDX_FLOW_CHUNK_ELEMS", str(1 << 22)))
+    return int(os.environ.get("PDX_FLOW_CHUNK_ELEMS", str(1 << 21)))
 
 
 @partial(jax.jit, static_argnames=("chunk", "flow_static"))

@@ -22,7 +22,7 @@ mkdir -p "$DIR" outputs
 STATUS="$DIR/STATUS"
 : > "$STATUS"
 FAILED=""
-ALL_SECTIONS="flow_quick bench real_bench comprehensive pallas mesh_scaling gather_bench flow_bench"
+ALL_SECTIONS="flow_quick bench diag_patch real_bench comprehensive pallas mesh_scaling gather_bench flow_bench"
 SECTIONS="${SECTIONS:-$ALL_SECTIONS}"
 DONE_FILE="outputs/battery_sections_done.txt"
 
@@ -95,7 +95,7 @@ note "battery $STAMP start"
 #    Skipped entirely when only CPU sections are wanted (mesh_scaling can be
 #    pre-recorded without spending a healthy-tunnel window on it).
 needs_tpu=""
-for s in flow_quick bench comprehensive real_bench pallas gather_bench flow_bench; do want "$s" && needs_tpu=1; done
+for s in flow_quick bench diag_patch comprehensive real_bench pallas gather_bench flow_bench; do want "$s" && needs_tpu=1; done
 if [ -z "$needs_tpu" ]; then
   note "probe skipped (CPU-only sections: $SECTIONS)"
 else
@@ -167,6 +167,12 @@ fi
 # 1. the driver bench (writes docs/measurements/bench_tpu_<stamp>.json itself)
 #    no-fallback: a wedge must fail in ~90 s, not burn 900 s on a CPU rerun
 want bench && run_section bench 900 env PDX_BENCH_NO_FALLBACK=1 python bench.py
+
+# 1b. bench patch-ensemble stage attribution: pins the 18.6 s-vs-4 s warm
+#     regression (battery_20260818T120920Z) to a stage (ship / preprocess /
+#     registration / fits) instead of a guess. Cheap (~3-5 min warm reps).
+want diag_patch && abort_if_wedged diag_patch && run_section diag_patch 1200 python tools/diag_bench_patch.py \
+  --out "$DIR/diag_patch.json"
 
 # 2. real-image pipeline sweep — the most-owed record (moved ahead of the
 #    microbenches 2026-08-17: the register-formulation question they existed

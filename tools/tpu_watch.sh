@@ -48,7 +48,7 @@ while [ "$(date +%s)" -lt "$deadline" ]; do
     [ "$waited" -gt 0 ] && echo "    (waited ${waited}s for /tmp/cpu_busy to clear)"
     # resume: run only the sections no previous attempt completed
     remaining=""
-    for s in flow_quick bench comprehensive real_bench pallas mesh_scaling gather_bench flow_bench; do
+    for s in flow_quick bench diag_patch comprehensive real_bench pallas mesh_scaling gather_bench flow_bench; do
       grep -q "^$s " outputs/battery_sections_done.txt 2>/dev/null || remaining="$remaining $s"
     done
     if [ -z "$remaining" ]; then
@@ -61,7 +61,7 @@ while [ "$(date +%s)" -lt "$deadline" ]; do
     rc=$?
     rm -f /tmp/battery_running
     still=""
-    for s in flow_quick bench comprehensive real_bench pallas mesh_scaling gather_bench flow_bench; do
+    for s in flow_quick bench diag_patch comprehensive real_bench pallas mesh_scaling gather_bench flow_bench; do
       grep -q "^$s " outputs/battery_sections_done.txt 2>/dev/null || still="$still $s"
     done
     if [ -z "$still" ]; then
