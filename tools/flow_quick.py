@@ -111,7 +111,43 @@ def main() -> None:
     chain_winner = min(("steps", "scan"), key=lambda m: ch[f"{m}_s"])
     results["recommend"]["PDX_CHAIN_IMPL"] = chain_winner
     print(f"chain winner: {chain_winner}", flush=True)
+    flush()
+
+    # ---- knob 3: patch-sindy flow path, compose vs chain at the REAL
+    # production patch shape. The flow_bench A/B ran 256 pairs of 256^2;
+    # patch-sindy's real workload is ~285 patches x 50 steps of 128^2 —
+    # different per-program pair counts and pyramid depths, so the policy
+    # must be decided at this shape, on chip. A T=9 slice (8 steps) keeps
+    # it ~1-2 min while exercising the exact registration functions the
+    # pipeline dispatches to.
+    os.environ["PDX_CHAIN_IMPL"] = chain_winner
+    from pdx.pipelines.patch_sindy import (
+        _flow_register_chain_scan_all,
+        _flow_register_compose_all,
+    )
+
+    Tp, ph, pw, P = (9, 128, 128, 285) if not small else (4, 32, 32, 6)
+    Up = jnp.asarray(make_stack(T=Tp, H=ph * 2, W=pw * 2), jnp.float32)
+    import numpy as _np
+
+    rng = _np.random.default_rng(7)
+    ys = rng.integers(0, ph, size=P)
+    xs = rng.integers(0, pw, size=P)
+    seqs = jnp.stack([Up[:, y : y + ph, x : x + pw] for y, x in zip(ys, xs)])
+    pa: dict = {}
+    results[f"patch_flows_{P}x{Tp}x{ph}"] = pa
+    pa["chain_s"] = timed(
+        "patch chain", lambda: _flow_register_chain_scan_all(seqs)[0], reps=1
+    )
+    flush()
+    pa["compose_s"] = timed(
+        "patch compose", lambda: _flow_register_compose_all(seqs)[0], reps=1
+    )
+    compose_wins = pa["compose_s"] < pa["chain_s"]
+    results["recommend"]["PDX_FLOW_COMPOSE"] = "1" if compose_wins else "0"
+    print(f"patch flow winner: {'compose' if compose_wins else 'chain'}", flush=True)
     os.environ.pop("PDX_SEP_IMPL", None)
+    os.environ.pop("PDX_CHAIN_IMPL", None)
     flush()
     print(json.dumps(results))
 
