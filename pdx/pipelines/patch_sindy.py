@@ -211,6 +211,13 @@ def _first_frames(seqs):
     return seqs[:, 0]
 
 
+@partial(jax.jit, static_argnames=("idxs",))
+def _select_frames_f32(U, idxs: tuple[int, ...]):
+    """Gather display frames on device, f32 for the host read (figures don't
+    need f64; halves the tunnel transfer)."""
+    return U[jnp.asarray(idxs)].astype(jnp.float32)
+
+
 @jax.jit
 def _flow_warp_step(seqs, prev, pi, t):
     from pdx.register.farneback import farneback_flow
@@ -534,13 +541,21 @@ def run(cfg: PatchSindyConfig, U_raw: np.ndarray | None = None) -> dict[str, Any
             out_dir / "patch_sindy_results.json",
             {k: v for k, v in out.items() if k not in ("config", "patch_coeffs")},
         )
-        # per-run results PNG (patch_based_sindy.py:641-642 via :525-572)
+        # per-run results PNG (patch_based_sindy.py:641-642 via :525-572).
+        # The figure shows 4 frames: gather them ON DEVICE and read ~20 MB
+        # instead of the full f64 stack (~535 MB over the tunnel — measured
+        # as ~15 s of the 17.8 s figure stage, diag_patch_sindy 20260818T16Z)
         try:
-            from pdx.report.pipeline_figures import patch_sindy_results
+            from pdx.report.pipeline_figures import (
+                patch_sindy_figure_frame_indices,
+                patch_sindy_results,
+            )
 
+            fig_idx = patch_sindy_figure_frame_indices(int(U.shape[0]))
+            fig_frames = np.asarray(_select_frames_f32(U, tuple(fig_idx)))
             patch_sindy_results(
-                out_dir, np.asarray(U), coords, patch_size, ens, std,
-                TERM_NAMES, int(C.shape[0]),
+                out_dir, fig_frames, coords, patch_size, ens, std,
+                TERM_NAMES, int(C.shape[0]), frame_indices=fig_idx,
             )
         except Exception as e:  # pragma: no cover - keep discovery results robust
             print(f"   (skipped patch_based_sindy_results.png: {e})")

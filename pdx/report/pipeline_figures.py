@@ -320,27 +320,43 @@ def patch_pde_summary(
     return _save(fig, Path(out_dir) / "PATCH_PDE_SUMMARY.png")
 
 
+def patch_sindy_figure_frame_indices(T: int) -> list[int]:
+    """The 4 frame indices patch_sindy_results displays (3 samples + mid).
+
+    Exposed so the pipeline can gather ONLY these frames on device before the
+    host transfer: reading the full denoised stack cost ~15 s of the 17.8 s
+    figure stage on the axon tunnel (diag_patch_sindy, 20260818T16Z) for a
+    figure that shows 4 frames."""
+    return [min(i * max(1, T // 3), T - 1) for i in range(3)] + [T // 2]
+
+
 def patch_sindy_results(
     out_dir: Path, images, coords, patch_size: int, coeffs, coeffs_std,
-    term_names, n_patches: int,
+    term_names, n_patches: int, frame_indices: list[int] | None = None,
 ) -> Path:
     """patch_based_sindy_results.png: sample frames + patch grid overlay +
-    active-term bars + uncertainty scatter (patch_based_sindy.py:525-572)."""
+    active-term bars + uncertainty scatter (patch_based_sindy.py:525-572).
+
+    ``images`` is either the full (T, H, W) stack, or — when
+    ``frame_indices`` is given — just the 4 displayed frames
+    (``patch_sindy_figure_frame_indices``) with their stack indices."""
     images = np.asarray(images)
     coeffs = np.asarray(coeffs, dtype=float)
     coeffs_std = np.asarray(coeffs_std, dtype=float)
-    T = images.shape[0]
+    if frame_indices is None:
+        T = images.shape[0]
+        frame_indices = patch_sindy_figure_frame_indices(T)
+        images = images[np.asarray(frame_indices)]
 
     fig = plt.figure(figsize=(16, 10))
     for i in range(3):
-        idx = min(i * max(1, T // 3), T - 1)
         ax = plt.subplot(2, 4, i + 1)
-        ax.imshow(images[idx], cmap="gray", vmin=0, vmax=1)
-        ax.set_title(f"Frame {idx}")
+        ax.imshow(images[i], cmap="gray", vmin=0, vmax=1)
+        ax.set_title(f"Frame {frame_indices[i]}")
         ax.axis("off")
 
     ax = plt.subplot(2, 4, 4)
-    mid = images[T // 2]
+    mid = images[3]
     ax.imshow(mid, cmap="gray")
     # patch boundaries drawn as matplotlib rectangles (the reference burns
     # cv2.rectangle into the pixels; same visual contract)
