@@ -78,6 +78,12 @@ class PatchSindyConfig:
     # of the two paths is pinned close by
     # tests/test_more_pipelines.py::test_flow_compose_close_to_chain.
     flow_compose: bool | None = None
+    # compose-path flow resolution: compute + compose the per-patch flows at
+    # patch_size/flow_downsample and upsample the composed to-first flows
+    # before the full-res warp. None = auto: 2 on accelerators (the pyramid
+    # is TPU-gather-bound; half-res quarters it), 1 on CPU (keeps the CPU
+    # golden path bit-stable). PDX_FLOW_DS overrides for chip A/B.
+    flow_downsample: int | None = None
     max_patches: int | None = None
     var_suppress_factor: float = 2.0
     dtype: str = "float64"
@@ -211,11 +217,19 @@ def _first_frames(seqs):
     return seqs[:, 0]
 
 
-@partial(jax.jit, static_argnames=("idxs",))
-def _select_frames_f32(U, idxs: tuple[int, ...]):
-    """Gather display frames on device, f32 for the host read (figures don't
-    need f64; halves the tunnel transfer)."""
-    return U[jnp.asarray(idxs)].astype(jnp.float32)
+@partial(jax.jit, static_argnames=("idxs", "ds"))
+def _select_frames_f32(U, idxs: tuple[int, ...], ds: int = 1):
+    """Gather display frames on device, f32, downsampled to display
+    resolution before the host read: the figure panel is ~600x750 px at
+    150 dpi, and the tunnel's device->host read path can drop to ~1.3 MB/s
+    (measured 15.8 s for 4 full-res f32 frames, 20260818T21Z) — every byte
+    read must earn its place."""
+    from pdx.ops.interp import resize_bilinear
+
+    F = U[jnp.asarray(idxs)].astype(jnp.float32)
+    if ds > 1:
+        F = resize_bilinear(F, U.shape[-2] // ds, U.shape[-1] // ds)
+    return F
 
 
 @jax.jit
@@ -284,35 +298,59 @@ def _flow_register_chain_scan_all(seqs):
     return seq, jnp.mean(qs, axis=0)
 
 
-@jax.jit
-def _compose_all_prep(seqs):
-    """Flatten (P, T, ph, pw) into the P*(T-1) consecutive-pair operands."""
+@partial(jax.jit, static_argnames=("ds",))
+def _compose_all_prep(seqs, ds: int = 1):
+    """Flatten (P, T, ph, pw) into the P*(T-1) consecutive-pair operands.
+
+    ``ds`` > 1 additionally downsamples the pair operands (bilinear) so the
+    gather-bound pyramid runs at reduced resolution — the flow field is
+    smooth at the patch scale, so computing it at ph/ds and upsampling the
+    composed result (see _compose_all_finish) trades sub-pixel flow detail
+    for ~ds^2 less flow work. The full-resolution warp is unchanged."""
+    from pdx.ops.interp import resize_bilinear
+
     P, T, ph, pw = seqs.shape
     f32 = jnp.float32 if seqs.dtype == jnp.float64 else seqs.dtype
     Sf = seqs.astype(f32)
-    return (
-        Sf[:, :-1].reshape(P * (T - 1), ph, pw),
-        Sf[:, 1:].reshape(P * (T - 1), ph, pw),
-    )
+    prev = Sf[:, :-1].reshape(P * (T - 1), ph, pw)
+    cur = Sf[:, 1:].reshape(P * (T - 1), ph, pw)
+    if ds > 1:
+        prev = resize_bilinear(prev, ph // ds, pw // ds)
+        cur = resize_bilinear(cur, ph // ds, pw // ds)
+    return prev, cur
 
 
 @jax.jit
 def _compose_all_finish(seqs, fx, fy):
+    """Compose pairwise flows to to-first flows (at the flow's own
+    resolution — half-res when _compose_all_prep downsampled), upsample the
+    composed flows once if needed, and warp every frame at full resolution.
+
+    Flow values are in flow-resolution pixel units throughout the
+    composition (self-consistent); magnitudes for the quality metric and the
+    final warp offsets are rescaled to full-res units by (ph/hs, pw/ws)."""
     from pdx.register.farneback import compose_flow_chain
-    from pdx.ops.interp import warp_flow_batch
+    from pdx.ops.interp import resize_bilinear, warp_flow_batch
 
     P, T, ph, pw = seqs.shape
-    mag = jnp.sqrt(fx**2 + fy**2).reshape(P, T - 1, ph, pw)
+    hs, ws = int(fx.shape[-2]), int(fx.shape[-1])
+    sr, sc = ph / hs, pw / ws
+    mag = jnp.sqrt((sr * fx) ** 2 + (sc * fy) ** 2).reshape(P, T - 1, hs, ws)
     q = jnp.mean(
         1.0 / (jnp.mean(mag, axis=(-2, -1)) + 1.0), axis=1
     ).astype(seqs.dtype)
     Fx, Fy = compose_flow_chain(
-        fx.reshape(P, T - 1, ph, pw), fy.reshape(P, T - 1, ph, pw), batched=True
+        fx.reshape(P, T - 1, hs, ws), fy.reshape(P, T - 1, hs, ws), batched=True
     )
+    Fx = Fx.reshape(P * (T - 1), hs, ws)
+    Fy = Fy.reshape(P * (T - 1), hs, ws)
+    if (hs, ws) != (ph, pw):
+        Fx = resize_bilinear(Fx, ph, pw) * jnp.asarray(sr, Fx.dtype)
+        Fy = resize_bilinear(Fy, ph, pw) * jnp.asarray(sc, Fy.dtype)
     warped = warp_flow_batch(
         seqs[:, 1:].reshape(P * (T - 1), ph, pw),
-        Fx.reshape(P * (T - 1), ph, pw).astype(seqs.dtype),
-        Fy.reshape(P * (T - 1), ph, pw).astype(seqs.dtype),
+        Fx.astype(seqs.dtype),
+        Fy.astype(seqs.dtype),
     ).reshape(P, T - 1, ph, pw)
     return jnp.concatenate([seqs[:, :1], warped], axis=1), q
 
@@ -332,7 +370,23 @@ def _resolve_flow_compose(flow_compose: bool | None) -> bool:
     return jax.default_backend() != "cpu"
 
 
-def _flow_register_compose_all(seqs):
+def _resolve_flow_ds(flow_downsample: int | None, patch_size: int) -> int:
+    """Resolve the compose-path flow resolution policy (None -> backend-
+    dependent: half-res on accelerators, full-res on CPU). Clamped so the
+    flow grid never drops below 32 px. PDX_FLOW_DS overrides."""
+    env = os.environ.get("PDX_FLOW_DS")
+    if env is not None:
+        ds = int(env)
+    elif flow_downsample is not None:
+        ds = int(flow_downsample)
+    else:
+        ds = 2 if jax.default_backend() != "cpu" else 1
+    while ds > 1 and patch_size // ds < 32:
+        ds //= 2
+    return max(1, ds)
+
+
+def _flow_register_compose_all(seqs, flow_ds: int = 1):
     """Per-patch registration with BOTH the patch and time axes batched.
 
     All P*(T-1) consecutive-pair flows run as CHUNKED flat-gather pyramid
@@ -347,10 +401,17 @@ def _flow_register_compose_all(seqs):
     Quality per patch: mean_t 1/(1 + mean|flow_t|) over the raw pairwise
     flows (the chain uses the warped-prev incremental flow — same scale,
     same meaning: residual inter-frame motion).
+
+    ``flow_ds`` > 1 computes (and composes) the flows at 1/flow_ds patch
+    resolution and upsamples the composed to-first flows once before the
+    full-resolution warp — ~flow_ds^2 less of the gather-bound pyramid +
+    composition work for sub-pixel flow detail the smooth laser-matter
+    motion doesn't contain (quality pinned against the full-res path in
+    tests/test_more_pipelines.py::test_flow_downsample_close_to_fullres).
     """
     from pdx.register.farneback import batched_pair_flows
 
-    prev, cur = _compose_all_prep(seqs)
+    prev, cur = _compose_all_prep(seqs, ds=flow_ds)
     flow_static = (
         ("gaussian_win", False), ("iterations", 5), ("levels", 3),
         ("poly_n", 7), ("poly_sigma", 1.5), ("winsize", 15),
@@ -447,7 +508,9 @@ def run(cfg: PatchSindyConfig, U_raw: np.ndarray | None = None) -> dict[str, Any
     ):
         # patch AND time axes batched: ~3 device programs for the whole
         # registration stage (see _flow_register_compose_all)
-        seqs, qualities = _flow_register_compose_all(seqs)
+        seqs, qualities = _flow_register_compose_all(
+            seqs, flow_ds=_resolve_flow_ds(cfg.flow_downsample, patch_size)
+        )
     elif cfg.registration_method == "optical_flow" and cfg.flow_batch:
         # per-patch warp-to-previous Farnebäck, quality = 1/(1 + mean |flow|)
         # (patch_based_sindy.py:198-221). The patch axis is batched: each
@@ -552,10 +615,14 @@ def run(cfg: PatchSindyConfig, U_raw: np.ndarray | None = None) -> dict[str, Any
             )
 
             fig_idx = patch_sindy_figure_frame_indices(int(U.shape[0]))
-            fig_frames = np.asarray(_select_frames_f32(U, tuple(fig_idx)))
+            fig_ds = 1
+            while (H_ // (2 * fig_ds)) >= 512:
+                fig_ds *= 2
+            fig_frames = np.asarray(_select_frames_f32(U, tuple(fig_idx), ds=fig_ds))
             patch_sindy_results(
                 out_dir, fig_frames, coords, patch_size, ens, std,
                 TERM_NAMES, int(C.shape[0]), frame_indices=fig_idx,
+                full_shape=(H_, W_),
             )
         except Exception as e:  # pragma: no cover - keep discovery results robust
             print(f"   (skipped patch_based_sindy_results.png: {e})")

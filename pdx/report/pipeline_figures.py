@@ -333,13 +333,17 @@ def patch_sindy_figure_frame_indices(T: int) -> list[int]:
 def patch_sindy_results(
     out_dir: Path, images, coords, patch_size: int, coeffs, coeffs_std,
     term_names, n_patches: int, frame_indices: list[int] | None = None,
+    full_shape: tuple[int, int] | None = None,
 ) -> Path:
     """patch_based_sindy_results.png: sample frames + patch grid overlay +
     active-term bars + uncertainty scatter (patch_based_sindy.py:525-572).
 
     ``images`` is either the full (T, H, W) stack, or — when
     ``frame_indices`` is given — just the 4 displayed frames
-    (``patch_sindy_figure_frame_indices``) with their stack indices."""
+    (``patch_sindy_figure_frame_indices``) with their stack indices,
+    possibly downsampled to display resolution (``full_shape`` carries the
+    original (H, W) so patch rectangles stay in full-res coordinates via
+    the imshow extent)."""
     images = np.asarray(images)
     coeffs = np.asarray(coeffs, dtype=float)
     coeffs_std = np.asarray(coeffs_std, dtype=float)
@@ -347,17 +351,21 @@ def patch_sindy_results(
         T = images.shape[0]
         frame_indices = patch_sindy_figure_frame_indices(T)
         images = images[np.asarray(frame_indices)]
+    if full_shape is None:
+        full_shape = (images.shape[-2], images.shape[-1])
+    # axes in FULL-resolution pixel units regardless of display resolution
+    ext = (-0.5, full_shape[1] - 0.5, full_shape[0] - 0.5, -0.5)
 
     fig = plt.figure(figsize=(16, 10))
     for i in range(3):
         ax = plt.subplot(2, 4, i + 1)
-        ax.imshow(images[i], cmap="gray", vmin=0, vmax=1)
+        ax.imshow(images[i], cmap="gray", vmin=0, vmax=1, extent=ext)
         ax.set_title(f"Frame {frame_indices[i]}")
         ax.axis("off")
 
     ax = plt.subplot(2, 4, 4)
     mid = images[3]
-    ax.imshow(mid, cmap="gray")
+    ax.imshow(mid, cmap="gray", extent=ext)
     # patch boundaries drawn as matplotlib rectangles (the reference burns
     # cv2.rectangle into the pixels; same visual contract)
     from matplotlib.patches import Rectangle
