@@ -271,12 +271,87 @@ def bilinear_sample_reflect_cbatch(f: Array, x: Array, y: Array) -> Array:
     )
 
 
+def _reflect101_fold_float(x: Array, n: int) -> Array:
+    """Continuous BORDER_REFLECT_101 folding of fractional coordinates into
+    [0, n-1]: the reflect-extended image is the periodization (period
+    2(n-1)) of a triangle-folded coordinate, so bilinear interpolation at x
+    equals bilinear interpolation at fold(x) — the identity that lets the
+    packed sampler gather CONTIGUOUS 2x2 blocks instead of 4 independently
+    folded taps."""
+    if n == 1:
+        return jnp.zeros_like(x)
+    period = 2 * (n - 1)
+    m = jnp.mod(x, period)
+    return (n - 1) - jnp.abs(m - (n - 1))
+
+
+def bilinear_sample_reflect_batch_packed(f: Array, x: Array, y: Array) -> Array:
+    """Packed batched bilinear sampling, reflect border: ``f`` (B, H, W),
+    ``x``/``y`` (B, h, w) -> (B, h, w).
+
+    TPU gather cost is index-count-bound (gather_bench,
+    battery_20260818T120920Z: fetching 5-vectors per index costs ~0.7x ONE
+    scalar per index). The classic formulation folds each of the 4 bilinear
+    taps independently (4 takes). Here the COORDINATES are reflect-folded
+    first (:func:`_reflect101_fold_float` — exact, the reflect-extended
+    image is piecewise-linear in the folded coordinate), after which the 4
+    taps are always the contiguous block (x0:x0+2, y0:y0+2): stack the 4
+    shifted views channel-last and fetch each pixel's 2x2 block with ONE
+    index. 4x fewer gather indices for 4x operand materialization — a
+    measured win at warp scale (chip A/B in the commit adding this).
+    Value-parity with :func:`bilinear_sample_reflect_batch` is pinned to
+    ~1e-6 in tests/test_ops.py (floating-point fold vs integer fold)."""
+    B, H, W = f.shape
+    if H < 2 or W < 2:
+        return bilinear_sample_reflect_batch(f, x, y)
+    xf = _reflect101_fold_float(x, H)
+    yf = _reflect101_fold_float(y, W)
+    x0 = jnp.clip(jnp.floor(xf).astype(jnp.int32), 0, H - 2)
+    y0 = jnp.clip(jnp.floor(yf).astype(jnp.int32), 0, W - 2)
+    tx = (xf - x0).astype(f.dtype)
+    ty = (yf - y0).astype(f.dtype)
+    # (B, H-1, W-1, 4) blocks: [f00, f01, f10, f11]
+    blocks = jnp.stack(
+        [f[:, : H - 1, : W - 1], f[:, : H - 1, 1:], f[:, 1:, : W - 1], f[:, 1:, 1:]],
+        axis=-1,
+    ).reshape(B * (H - 1) * (W - 1), 4)
+    if blocks.size >= 2**31:
+        raise ValueError(
+            f"packed gather operand has {blocks.size} elements (>= 2^31): "
+            "int32 index arithmetic would overflow — split the batch axis"
+        )
+    idx = (
+        jnp.arange(B, dtype=jnp.int32)[:, None, None] * (H - 1) + x0
+    ) * (W - 1) + y0
+    g = jnp.take(blocks, idx, axis=0)  # (B, h, w, 4)
+    f00, f01, f10, f11 = g[..., 0], g[..., 1], g[..., 2], g[..., 3]
+    return (
+        f00 * (1 - tx) * (1 - ty)
+        + f01 * (1 - tx) * ty
+        + f10 * tx * (1 - ty)
+        + f11 * tx * ty
+    )
+
+
+def _warp_impl_default() -> str:
+    """Batched-warp lowering policy: packed 2x2-block gather on accelerators
+    (index-count-bound gathers — 4x fewer indices), classic 4-tap on CPU
+    (keeps the CPU golden path bit-stable; the packed operand build costs
+    real memory traffic on the single-core host). PDX_WARP_IMPL overrides."""
+    impl = os.environ.get("PDX_WARP_IMPL")
+    if impl:
+        return impl
+    return "packed" if jax.default_backend() != "cpu" else "taps"
+
+
 def warp_flow_batch(f: Array, flow_x: Array, flow_y: Array) -> Array:
     """Batched backward-flow warp (reflect border): ``f``/flows (B, H, W)."""
     H, W = f.shape[-2], f.shape[-1]
     dtype = flow_x.dtype
     r = jnp.arange(H, dtype=dtype)[:, None]
     c = jnp.arange(W, dtype=dtype)[None, :]
+    if f.ndim == 3 and _warp_impl_default() == "packed":
+        return bilinear_sample_reflect_batch_packed(f, r + flow_x, c + flow_y)
     return bilinear_sample_reflect_batch(f, r + flow_x, c + flow_y)
 
 

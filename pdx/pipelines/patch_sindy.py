@@ -242,7 +242,7 @@ def _flow_warp_step(seqs, prev, pi, t):
     f32 = jnp.float32 if seqs.dtype == jnp.float64 else seqs.dtype
     fx, fy = farneback_flow(
         prev.astype(f32), cur.astype(f32), levels=3, winsize=15, iterations=5,
-        poly_n=7, poly_sigma=1.5, gaussian_win=False,
+        poly_n=7, poly_sigma=1.5, gaussian_win=False, refine=1,
     )
     fx, fy = fx.astype(seqs.dtype), fy.astype(seqs.dtype)
     warped = warp_flow(cur, fx, fy, border="reflect")
@@ -261,7 +261,7 @@ def _flow_warp_step_all_patches(seqs, prev, t):
     f32 = jnp.float32 if seqs.dtype == jnp.float64 else seqs.dtype
     fx, fy = farneback_flow(
         prev.astype(f32), cur.astype(f32), levels=3, winsize=15, iterations=5,
-        poly_n=7, poly_sigma=1.5, gaussian_win=False, batched=True,
+        poly_n=7, poly_sigma=1.5, gaussian_win=False, batched=True, refine=1,
     )
     fx, fy = fx.astype(seqs.dtype), fy.astype(seqs.dtype)
     warped = warp_flow_batch(cur, fx, fy)
@@ -286,7 +286,7 @@ def _flow_register_chain_scan_all(seqs):
         fx, fy = farneback_flow(
             prev.astype(f32), cur.astype(f32), levels=3, winsize=15,
             iterations=5, poly_n=7, poly_sigma=1.5, gaussian_win=False,
-            batched=True,
+            batched=True, refine=1,
         )
         fx, fy = fx.astype(seqs.dtype), fy.astype(seqs.dtype)
         warped = warp_flow_batch(cur, fx, fy)
@@ -412,9 +412,14 @@ def _flow_register_compose_all(seqs, flow_ds: int = 1):
     from pdx.register.farneback import batched_pair_flows
 
     prev, cur = _compose_all_prep(seqs, ds=flow_ds)
+    # refine=1 (not farneback_flow's default 2): through the to-first
+    # composition the second re-warp pass buys nothing — residual within 1%
+    # of refine=2 on textured translation, slightly BETTER on smooth drift
+    # (refine=0 is 24-42% worse — keep one pass), ~25% less flow time.
+    # Same policy the chain schedule adopted (farneback_register_sequence).
     flow_static = (
         ("gaussian_win", False), ("iterations", 5), ("levels", 3),
-        ("poly_n", 7), ("poly_sigma", 1.5), ("winsize", 15),
+        ("poly_n", 7), ("poly_sigma", 1.5), ("refine", 1), ("winsize", 15),
     )
     fx, fy = batched_pair_flows(prev, cur, flow_static=flow_static)
     return _compose_all_finish(seqs, fx, fy)
