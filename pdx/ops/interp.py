@@ -333,6 +333,109 @@ def bilinear_sample_reflect_batch_packed(f: Array, x: Array, y: Array) -> Array:
     )
 
 
+def _packed_corner_weights(xf, yf, H, W, dtype):
+    """Shared packed-sampler index/weight computation on FOLDED coords."""
+    x0 = jnp.clip(jnp.floor(xf).astype(jnp.int32), 0, H - 2)
+    y0 = jnp.clip(jnp.floor(yf).astype(jnp.int32), 0, W - 2)
+    tx = (xf - x0).astype(dtype)
+    ty = (yf - y0).astype(dtype)
+    wts = jnp.stack(
+        [(1 - tx) * (1 - ty), (1 - tx) * ty, tx * (1 - ty), tx * ty], axis=-1
+    )  # (..., 4) in corner order [00, 01, 10, 11]
+    return x0, y0, wts
+
+
+def _combine_corners(g: Array, wts: Array) -> Array:
+    """(..., 4, C) corner fetches x (..., 4) weights -> (..., C), as explicit
+    multiply-adds (a k=4 einsum would ride the global HIGHEST dot precision
+    — multi-pass MXU work for a 4-term sum)."""
+    w = wts[..., None]
+    return (
+        g[..., 0, :] * w[..., 0, :]
+        + g[..., 1, :] * w[..., 1, :]
+        + g[..., 2, :] * w[..., 2, :]
+        + g[..., 3, :] * w[..., 3, :]
+    )
+
+
+def use_packed_fetch() -> bool:
+    """Trace-time policy for the pyramid EXPANSION fetch: classic 4-tap
+    channel-last takes everywhere. The packed 2x2-block variant that wins
+    7.4x on the single-channel warp LOSES here — chip A/B at the production
+    flow shape (1500 half-res pairs, refine=1): taps 6.76 s vs packed
+    8.10 s. The 5-channel corner block is an 80-byte fetch per index
+    (4 corners x 5 ch x f32), past the gather width where index-count
+    savings pay (the warp's blocks are 16 bytes). PDX_FETCH_IMPL=packed
+    re-enables for A/B."""
+    return os.environ.get("PDX_FETCH_IMPL") == "packed"
+
+
+def _corner_blocks_cl(v: Array) -> Array:
+    """(..., H, W, C) -> (..., H-1, W-1, 4, C) channel-last corner blocks."""
+    return jnp.stack(
+        [
+            v[..., :-1, :-1, :],
+            v[..., :-1, 1:, :],
+            v[..., 1:, :-1, :],
+            v[..., 1:, 1:, :],
+        ],
+        axis=-2,
+    )
+
+
+def bilinear_sample_reflect_packed(f: Array, x: Array, y: Array) -> Array:
+    """Packed unbatched sampler: ``f`` (..., H, W) (leading axes = channels),
+    coords (h, w) shared across channels -> f.shape[:-2] + x.shape.
+
+    Same trick as :func:`bilinear_sample_reflect_batch_packed` — fold the
+    coordinates, fetch contiguous 2x2xC blocks with one index per pixel —
+    for the UNBATCHED pyramid/warp programs (the lax.scan chain bodies)."""
+    H, W = f.shape[-2], f.shape[-1]
+    if H < 2 or W < 2:
+        return bilinear_sample_reflect(f, x, y)
+    lead = f.shape[:-2]
+    C = int(np.prod(lead)) if lead else 1
+    v = jnp.moveaxis(f.reshape(C, H, W), 0, -1)  # (H, W, C)
+    blocks = _corner_blocks_cl(v).reshape((H - 1) * (W - 1), 4 * C)
+    xf = _reflect101_fold_float(x, H)
+    yf = _reflect101_fold_float(y, W)
+    x0, y0, wts = _packed_corner_weights(xf, yf, H, W, f.dtype)
+    g = jnp.take(blocks, x0 * (W - 1) + y0, axis=0).reshape(x.shape + (4, C))
+    out = _combine_corners(g, wts)  # (h, w, C)
+    out = jnp.moveaxis(out, -1, 0).reshape(lead + x.shape)
+    return out
+
+
+def bilinear_sample_reflect_cbatch_packed(f: Array, x: Array, y: Array) -> Array:
+    """Packed channel-first batched sampler: ``f`` (C, B, H, W),
+    coords (B, h, w) -> (C, B, h, w).
+
+    The packed counterpart of :func:`bilinear_sample_reflect_cbatch`: ONE
+    index per output pixel fetches the contiguous (2x2, C) corner block —
+    4x fewer gather indices than the 4-tap channel-last take for 4x operand
+    materialization (TPU gathers are index-count-bound; see
+    :func:`bilinear_sample_reflect_batch_packed`)."""
+    C, B, H, W = f.shape
+    if H < 2 or W < 2:
+        return bilinear_sample_reflect_cbatch(f, x, y)
+    v = jnp.moveaxis(f, 0, -1)  # (B, H, W, C)
+    blocks = _corner_blocks_cl(v).reshape(B * (H - 1) * (W - 1), 4 * C)
+    if blocks.size >= 2**31:
+        raise ValueError(
+            f"packed gather operand has {blocks.size} elements (>= 2^31): "
+            "int32 index arithmetic would overflow — split the batch axis"
+        )
+    xf = _reflect101_fold_float(x, H)
+    yf = _reflect101_fold_float(y, W)
+    x0, y0, wts = _packed_corner_weights(xf, yf, H, W, f.dtype)
+    idx = (jnp.arange(B, dtype=jnp.int32)[:, None, None] * (H - 1) + x0) * (
+        W - 1
+    ) + y0
+    g = jnp.take(blocks, idx, axis=0).reshape(x.shape + (4, C))
+    out = _combine_corners(g, wts)  # (B, h, w, C)
+    return jnp.moveaxis(out, -1, 0)
+
+
 def _warp_impl_default() -> str:
     """Batched-warp lowering policy: packed 2x2-block gather on accelerators
     (index-count-bound gathers — 4x fewer indices), classic 4-tap on CPU
@@ -410,6 +513,14 @@ def warp_flow(f: Array, flow_x: Array, flow_y: Array, *, border: str = "reflect"
     dtype = flow_x.dtype
     r = jnp.arange(H, dtype=dtype)[:, None]
     c = jnp.arange(W, dtype=dtype)[None, :]
+    if (
+        border == "reflect"
+        and flow_x.ndim == 2
+        and _warp_impl_default() == "packed"
+    ):
+        # packed path needs UNBATCHED coords (shared across any leading
+        # channel axes of f) — every warp_flow callsite passes (H, W) flows
+        return bilinear_sample_reflect_packed(f, r + flow_x, c + flow_y)
     return remap_bilinear(f, r + flow_x, c + flow_y, border=border)
 
 

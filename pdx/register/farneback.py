@@ -44,8 +44,11 @@ from pdx.ops.interp import (
     band_matrix,
     bilinear_sample_reflect,
     bilinear_sample_reflect_cbatch,
+    bilinear_sample_reflect_cbatch_packed,
+    bilinear_sample_reflect_packed,
     resize_bilinear,
     use_mxu_sep,
+    use_packed_fetch,
     warp_flow,
     warp_flow_batch,
 )
@@ -203,14 +206,26 @@ def _flow_iteration(exp1, exp2, flow, winsize, gaussian_win, batched=False):
 
     # ONE batched gather for the five expansion-fetch fields: TPU gather cost
     # is index-arithmetic-bound, so five separate 512^2 fetches cost ~61 ms
-    # where one (5, H, W) fetch costs ~13 ms (measured on v5e)
+    # where one (5, H, W) fetch costs ~13 ms (measured on v5e). On
+    # accelerators the packed variant goes further: fold the COORDINATES
+    # (exact reflect-101 identity) so one index per pixel fetches the whole
+    # contiguous (2x2, 5) corner block — 4x fewer indices again
+    # (interp.use_packed_fetch policy; chip A/B in the adding commit).
     if batched:
         # channel-FIRST stack (5, B, H, W): the sampler transposes it
         # channel-LAST internally so each pixel index fetches one contiguous
-        # 5-vector — the measured-fastest batched formulation (interp.py
+        # block — the measured-fastest batched formulation (interp.py
         # notes; ~10x over the row-folded/flat channel-first gathers)
         stack5 = jnp.stack([a2xx, a2yy, a2xy, b2x, b2y], axis=0)
-        f_axx, f_ayy, f_axy, f_b2x, f_b2y = bilinear_sample_reflect_cbatch(
+        sampler = (
+            bilinear_sample_reflect_cbatch_packed
+            if use_packed_fetch()
+            else bilinear_sample_reflect_cbatch
+        )
+        f_axx, f_ayy, f_axy, f_b2x, f_b2y = sampler(stack5, xr, xc)
+    elif use_packed_fetch() and b1x.ndim == 2:
+        stack5 = jnp.stack([a2xx, a2yy, a2xy, b2x, b2y], axis=0)
+        f_axx, f_ayy, f_axy, f_b2x, f_b2y = bilinear_sample_reflect_packed(
             stack5, xr, xc
         )
     else:

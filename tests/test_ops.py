@@ -289,6 +289,59 @@ class TestInterp:
         want = np.asarray(bilinear_sample_reflect_batch(f3, x, y))
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
+    def test_packed_channel_samplers_match_taps(self):
+        from pdx.ops.interp import (
+            bilinear_sample_reflect_cbatch,
+            bilinear_sample_reflect_cbatch_packed,
+            bilinear_sample_reflect_packed,
+        )
+
+        rng = np.random.default_rng(24)
+        C, B, H, W, h, w = 5, 3, 17, 13, 9, 11
+        f4 = jnp.asarray(rng.normal(size=(C, B, H, W)), jnp.float32)
+        x = jnp.asarray(rng.uniform(-H, 2 * H, size=(B, h, w)), jnp.float32)
+        y = jnp.asarray(rng.uniform(-W, 2 * W, size=(B, h, w)), jnp.float32)
+        got = np.asarray(bilinear_sample_reflect_cbatch_packed(f4, x, y))
+        want = np.asarray(bilinear_sample_reflect_cbatch(f4, x, y))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+        # unbatched channel-first (the scan-chain pyramid shape)
+        f3 = f4[:, 0]
+        got3 = np.asarray(bilinear_sample_reflect_packed(f3, x[0], y[0]))
+        want3 = np.asarray(bilinear_sample_reflect(f3, x[0], y[0]))
+        np.testing.assert_allclose(got3, want3, rtol=1e-4, atol=1e-5)
+        # plain (H, W) single-channel
+        got2 = np.asarray(bilinear_sample_reflect_packed(f3[0], x[0], y[0]))
+        np.testing.assert_allclose(got2, want3[0], rtol=1e-4, atol=1e-5)
+
+    def test_flow_fetch_impl_parity(self, monkeypatch):
+        """The packed expansion fetch must leave Farnebäck flows essentially
+        unchanged (same math, different gather lowering)."""
+        import jax
+
+        from pdx.register.farneback import farneback_flow
+
+        rng = np.random.default_rng(25)
+        a = jnp.asarray(rng.random((2, 48, 40)), jnp.float32)
+        b = jnp.asarray(rng.random((2, 48, 40)), jnp.float32)
+        outs = {}
+        for impl in ("taps", "packed"):
+            monkeypatch.setenv("PDX_FETCH_IMPL", impl)
+            monkeypatch.setenv("PDX_WARP_IMPL", impl)
+            # the impl policy is read at TRACE time: drop cached executables
+            # so the env change actually reaches the lowering
+            jax.clear_caches()
+            fx, fy = farneback_flow(
+                a, b, levels=2, winsize=9, iterations=3, poly_n=5,
+                poly_sigma=1.1, gaussian_win=False, refine=1, batched=True,
+            )
+            fxs, fys = farneback_flow(
+                a[0], b[0], levels=2, winsize=9, iterations=3, poly_n=5,
+                poly_sigma=1.1, gaussian_win=False, refine=1,
+            )
+            outs[impl] = (np.asarray(fx), np.asarray(fy), np.asarray(fxs), np.asarray(fys))
+        for g, w in zip(outs["packed"], outs["taps"]):
+            np.testing.assert_allclose(g, w, rtol=1e-3, atol=2e-4)
+
     def test_warp_flow_batch_impl_parity(self, monkeypatch):
         from pdx.ops.interp import warp_flow_batch
 
