@@ -403,6 +403,8 @@ def farneback_register_sequence(
     sign = jnp.asarray(warp_sign, U.dtype)
     flow_kwargs.setdefault("refine", 1)
     chain_impl = flow_kwargs.pop("chain_impl", None) or _chain_impl_default()
+    flow_ds = flow_kwargs.pop("flow_ds", None)
+    flow_ds = _chain_flow_ds(flow_ds, U.shape[-2], U.shape[-1])
     flow_static = tuple(sorted(flow_kwargs.items()))
     if chain_impl == "scan":
         # identical per-step math folded into ONE device program via
@@ -413,7 +415,8 @@ def farneback_register_sequence(
         # chain is pinned in tests/test_register.py.
         return _register_chain_scan(
             U, sign,
-            ksize=flow_smooth_ksize, sigma=flow_smooth_sigma, flow_static=flow_static,
+            ksize=flow_smooth_ksize, sigma=flow_smooth_sigma,
+            flow_static=flow_static, flow_ds=flow_ds,
         )
     ref = _first_frame(U)
     out = [ref]
@@ -424,10 +427,31 @@ def farneback_register_sequence(
         # path (measured 16 s of a 21 s patch-discovery run)
         ref = _register_step(
             U, ref, i, sign,
-            ksize=flow_smooth_ksize, sigma=flow_smooth_sigma, flow_static=flow_static,
+            ksize=flow_smooth_ksize, sigma=flow_smooth_sigma,
+            flow_static=flow_static, flow_ds=flow_ds,
         )
         out.append(ref)
     return stack_frames(*out)
+
+
+def _chain_flow_ds(flow_ds: int | None, H: int, W: int) -> int:
+    """Chain flow-resolution policy (the trick that took patch-sindy's
+    compose path 4x down, applied to the warp-to-previous chain): compute
+    each step's flow on 2x-downsampled frames and upsample it (values
+    scaled) before the smooth+warp. None -> 2 on accelerators, 1 on CPU
+    (CPU goldens bit-stable); clamped so the flow grid stays >= 64 px.
+    PDX_REG_FLOW_DS overrides for A/B. Residual-motion quality at ds=2 is
+    pinned within a few % of full-res in tests/test_register.py."""
+    env = os.environ.get("PDX_REG_FLOW_DS")
+    if env is not None:
+        ds = int(env)
+    elif flow_ds is not None:
+        ds = int(flow_ds)
+    else:
+        ds = 2 if jax.default_backend() != "cpu" else 1
+    while ds > 1 and min(H, W) // ds < 64:
+        ds //= 2
+    return max(1, ds)
 
 
 def _chain_impl_default() -> str:
@@ -442,8 +466,23 @@ def _chain_impl_default() -> str:
     return "scan" if jax.default_backend() != "cpu" else "steps"
 
 
-@partial(jax.jit, static_argnames=("ksize", "sigma", "flow_static"))
-def _register_chain_scan(U, sign, *, ksize: int, sigma: float, flow_static):
+def _chain_step_flow(ref, cur, *, f32, flow_ds: int, kw: dict):
+    """One chain step's (possibly reduced-resolution) flow, at full-res
+    scale/shape: the shared body of the scan and per-step schedules."""
+    H, W = ref.shape[-2], ref.shape[-1]
+    a, b = ref.astype(f32), cur.astype(f32)
+    if flow_ds > 1:
+        a = resize_bilinear(a, H // flow_ds, W // flow_ds)
+        b = resize_bilinear(b, H // flow_ds, W // flow_ds)
+    fx, fy = farneback_flow(a, b, **kw)
+    if flow_ds > 1:
+        fx = resize_bilinear(fx, H, W) * (H / fx.shape[-2])
+        fy = resize_bilinear(fy, H, W) * (W / fy.shape[-1])
+    return fx, fy
+
+
+@partial(jax.jit, static_argnames=("ksize", "sigma", "flow_static", "flow_ds"))
+def _register_chain_scan(U, sign, *, ksize: int, sigma: float, flow_static, flow_ds: int = 1):
     """Whole warp-to-previous chain as one lax.scan program.
 
     Same math as the _register_step loop (flow in f32, smoothed, warped in
@@ -453,7 +492,7 @@ def _register_chain_scan(U, sign, *, ksize: int, sigma: float, flow_static):
     kw = dict(flow_static)
 
     def step(ref, cur):
-        fx, fy = farneback_flow(ref.astype(f32), cur.astype(f32), **kw)
+        fx, fy = _chain_step_flow(ref, cur, f32=f32, flow_ds=flow_ds, kw=kw)
         fs = _blur(jnp.stack([fx, fy]), ksize, sigma, True).astype(U.dtype)
         warped = warp_flow(cur, sign * fs[0], sign * fs[1], border="reflect")
         return warped, warped
@@ -475,8 +514,8 @@ def stack_frames(*frames):
     return jnp.stack(frames, axis=0)
 
 
-@partial(jax.jit, static_argnames=("ksize", "sigma", "flow_static"))
-def _register_step(U, ref, i, sign, *, ksize: int, sigma: float, flow_static):
+@partial(jax.jit, static_argnames=("ksize", "sigma", "flow_static", "flow_ds"))
+def _register_step(U, ref, i, sign, *, ksize: int, sigma: float, flow_static, flow_ds: int = 1):
     cur = jax.lax.dynamic_index_in_dim(U, i, 0, keepdims=False)
     # flow is COMPUTED in f32, the warp applied in the pipeline dtype:
     # cv2's Farneback runs float32 internally (the reference even casts the
@@ -484,7 +523,7 @@ def _register_step(U, ref, i, sign, *, ksize: int, sigma: float, flow_static):
     # reference-faithful — and it halves the pyramid's memory traffic on the
     # f64 CPU path (~0.8 s/flow saved of 1.6 s at 512x640)
     f32 = jnp.float32 if U.dtype == jnp.float64 else U.dtype
-    fx, fy = farneback_flow(ref.astype(f32), cur.astype(f32), **dict(flow_static))
+    fx, fy = _chain_step_flow(ref, cur, f32=f32, flow_ds=flow_ds, kw=dict(flow_static))
     fs = _blur(jnp.stack([fx, fy]), ksize, sigma, True).astype(U.dtype)
     return warp_flow(cur, sign * fs[0], sign * fs[1], border="reflect")
 
