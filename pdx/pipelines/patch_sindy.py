@@ -372,15 +372,21 @@ def _resolve_flow_compose(flow_compose: bool | None) -> bool:
 
 def _resolve_flow_ds(flow_downsample: int | None, patch_size: int) -> int:
     """Resolve the compose-path flow resolution policy (None -> backend-
-    dependent: half-res on accelerators, full-res on CPU). Clamped so the
-    flow grid never drops below 32 px. PDX_FLOW_DS overrides."""
+    dependent: reduced-res on accelerators, full-res on CPU). The auto
+    policy picks the largest ds in {4, 2} keeping the flow grid >= 64 px:
+    at the production 256 px patches, ds=4 matches ds=2's registration
+    residual on textured drift (0.00277 vs 0.00263 — BOTH ~3x better than
+    full-res) at 1.86 s vs 6.04 s for the 1500 pair flows on chip. An
+    explicit value is honored down to a 32 px grid. PDX_FLOW_DS overrides."""
     env = os.environ.get("PDX_FLOW_DS")
     if env is not None:
         ds = int(env)
     elif flow_downsample is not None:
         ds = int(flow_downsample)
+    elif jax.default_backend() == "cpu":
+        ds = 1
     else:
-        ds = 2 if jax.default_backend() != "cpu" else 1
+        return 4 if patch_size // 4 >= 64 else (2 if patch_size // 2 >= 64 else 1)
     while ds > 1 and patch_size // ds < 32:
         ds //= 2
     return max(1, ds)
