@@ -141,8 +141,12 @@ def run(cfg: TransportConfig, U_raw: np.ndarray | None = None) -> dict[str, Any]
 
     dtype = resolve_dtype(cfg.dtype)
     if U_raw is None:
-        U_raw = load_images(cfg.data_dir, max_images=cfg.max_images)
-    images = jnp.asarray(U_raw, dtype=dtype)
+        # raw camera bytes to the device (u16 hint halves the tunnel ship vs
+        # f32; safe-cast fallback in load_images), cast + /max ON DEVICE —
+        # same pattern as patch_discovery (reference loads IMREAD_UNCHANGED
+        # u16 and max-normalizes, transport_pde_discovery.py:32-41)
+        U_raw = load_images(cfg.data_dir, max_images=cfg.max_images, dtype=np.uint16)
+    images = jnp.asarray(U_raw).astype(dtype)
     images = images / images.max()
 
     T, H, W = images.shape
@@ -246,8 +250,8 @@ def quick_run(cfg: TransportConfig, U_raw: np.ndarray | None = None) -> dict[str
     from pdx.solve.lasso import lstsq_solve
 
     if U_raw is None:
-        U_raw = load_images(cfg.data_dir, max_images=cfg.max_images)
-    images = jnp.asarray(U_raw, dtype=jnp.result_type(float))
+        U_raw = load_images(cfg.data_dir, max_images=cfg.max_images, dtype=np.uint16)
+    images = jnp.asarray(U_raw).astype(jnp.result_type(float))
     images = images / images.max()
     T, H, W = images.shape
     imgs_ds = resize_bilinear(images, H // cfg.downsample, W // cfg.downsample)
