@@ -301,36 +301,11 @@ def bilinear_sample_reflect_batch_packed(f: Array, x: Array, y: Array) -> Array:
     measured win at warp scale (chip A/B in the commit adding this).
     Value-parity with :func:`bilinear_sample_reflect_batch` is pinned to
     ~1e-6 in tests/test_ops.py (floating-point fold vs integer fold)."""
-    B, H, W = f.shape
+    H, W = f.shape[-2], f.shape[-1]
     if H < 2 or W < 2:
         return bilinear_sample_reflect_batch(f, x, y)
-    xf = _reflect101_fold_float(x, H)
-    yf = _reflect101_fold_float(y, W)
-    x0 = jnp.clip(jnp.floor(xf).astype(jnp.int32), 0, H - 2)
-    y0 = jnp.clip(jnp.floor(yf).astype(jnp.int32), 0, W - 2)
-    tx = (xf - x0).astype(f.dtype)
-    ty = (yf - y0).astype(f.dtype)
-    # (B, H-1, W-1, 4) blocks: [f00, f01, f10, f11]
-    blocks = jnp.stack(
-        [f[:, : H - 1, : W - 1], f[:, : H - 1, 1:], f[:, 1:, : W - 1], f[:, 1:, 1:]],
-        axis=-1,
-    ).reshape(B * (H - 1) * (W - 1), 4)
-    if blocks.size >= 2**31:
-        raise ValueError(
-            f"packed gather operand has {blocks.size} elements (>= 2^31): "
-            "int32 index arithmetic would overflow — split the batch axis"
-        )
-    idx = (
-        jnp.arange(B, dtype=jnp.int32)[:, None, None] * (H - 1) + x0
-    ) * (W - 1) + y0
-    g = jnp.take(blocks, idx, axis=0)  # (B, h, w, 4)
-    f00, f01, f10, f11 = g[..., 0], g[..., 1], g[..., 2], g[..., 3]
-    return (
-        f00 * (1 - tx) * (1 - ty)
-        + f01 * (1 - tx) * ty
-        + f10 * tx * (1 - ty)
-        + f11 * tx * ty
-    )
+    # the C=1 case of the channel-first packed sampler (16-byte block fetch)
+    return bilinear_sample_reflect_cbatch_packed(f[None], x, y)[0]
 
 
 def _packed_corner_weights(xf, yf, H, W, dtype):
