@@ -136,52 +136,70 @@ def _discover(imgs_ds, flow_u, flow_v, alphas_arr, *, dt, dx, dy, spatial_smooth
     return coefs, intercepts, ss_res_v, mae_v, ss_tot, n_eff
 
 
-def run(cfg: TransportConfig, U_raw: np.ndarray | None = None) -> dict[str, Any]:
+def run(
+    cfg: TransportConfig,
+    U_raw: np.ndarray | None = None,
+    timer=None,
+) -> dict[str, Any]:
     from pdx.utils.precision import resolve_dtype
+    from pdx.utils.profiling import null_stage, sync_point
 
+    st = timer.stage if timer is not None else null_stage
     dtype = resolve_dtype(cfg.dtype)
-    if U_raw is None:
-        # raw camera bytes to the device (u16 hint halves the tunnel ship vs
-        # f32; safe-cast fallback in load_images), cast + /max ON DEVICE —
-        # same pattern as patch_discovery (reference loads IMREAD_UNCHANGED
-        # u16 and max-normalizes, transport_pde_discovery.py:32-41)
-        U_raw = load_images(cfg.data_dir, max_images=cfg.max_images, dtype=np.uint16)
-    images = jnp.asarray(U_raw).astype(dtype)
-    images = images / images.max()
+    with st("load_images"):
+        if U_raw is None:
+            # raw camera bytes to the device (u16 hint halves the tunnel ship
+            # vs f32; safe-cast fallback in load_images), cast + /max ON
+            # DEVICE — same pattern as patch_discovery (reference loads
+            # IMREAD_UNCHANGED u16 and max-normalizes,
+            # transport_pde_discovery.py:32-41)
+            U_raw = load_images(cfg.data_dir, max_images=cfg.max_images, dtype=np.uint16)
+    with st("ship_normalize_resize"):
+        images = jnp.asarray(U_raw).astype(dtype)
+        images = images / images.max()
 
-    T, H, W = images.shape
-    h_ds, w_ds = H // cfg.downsample, W // cfg.downsample
-    imgs_ds = resize_bilinear(images, h_ds, w_ds)
+        T, H, W = images.shape
+        h_ds, w_ds = H // cfg.downsample, W // cfg.downsample
+        imgs_ds = resize_bilinear(images, h_ds, w_ds)
 
-    # per-pair min-max normalization for flow estimation (reference
-    # normalizes each frame to 0-255 before Farnebäck)
-    mn = imgs_ds.min(axis=(1, 2), keepdims=True)
-    mx = imgs_ds.max(axis=(1, 2), keepdims=True)
-    imgs_n = (imgs_ds - mn) / (mx - mn + 1e-12)
-    flow_r, flow_c = farneback_flow_pairs(
-        imgs_n,
-        pyr_scale=0.5,
-        levels=cfg.flow_levels,
-        winsize=cfg.flow_winsize,
-        iterations=cfg.flow_iterations,
-        poly_n=cfg.flow_poly_n,
-        poly_sigma=cfg.flow_poly_sigma,
-        gaussian_win=False,
-    )
-    # reference convention: flow_u = col component, flow_v = row component
-    flow_u, flow_v = flow_c, flow_r
+        # per-pair min-max normalization for flow estimation (reference
+        # normalizes each frame to 0-255 before Farnebäck)
+        mn = imgs_ds.min(axis=(1, 2), keepdims=True)
+        mx = imgs_ds.max(axis=(1, 2), keepdims=True)
+        imgs_n = (imgs_ds - mn) / (mx - mn + 1e-12)
+        if timer is not None:
+            sync_point(imgs_n)
+    with st("pair_flows"):
+        flow_r, flow_c = farneback_flow_pairs(
+            imgs_n,
+            pyr_scale=0.5,
+            levels=cfg.flow_levels,
+            winsize=cfg.flow_winsize,
+            iterations=cfg.flow_iterations,
+            poly_n=cfg.flow_poly_n,
+            poly_sigma=cfg.flow_poly_sigma,
+            gaussian_win=False,
+        )
+        # reference convention: flow_u = col component, flow_v = row component
+        flow_u, flow_v = flow_c, flow_r
+        if timer is not None:
+            sync_point(flow_u)
 
-    alphas_arr = jnp.asarray(cfg.alphas, dtype=imgs_ds.dtype)
-    coefs, intercepts, ss_res_v, mae_v, ss_tot, n_eff = _discover(
-        imgs_ds, flow_u, flow_v, alphas_arr,
-        dt=cfg.dt, dx=cfg.dx, dy=cfg.dy, spatial_smooth=cfg.spatial_smooth,
-    )
-    # ONE bundled device->host read (sequential np.asarray reads pay a
-    # ~10-30 ms tunnel round-trip each); mean flow speed joins the bundle
-    coefs, intercepts, ss_res_v, mae_v, ss_tot, n_eff, mean_speed = jax.device_get(
-        (coefs, intercepts, ss_res_v, mae_v, ss_tot, n_eff,
-         _mean_speed(flow_u, flow_v))
-    )
+    with st("discover_lasso_sweep"):
+        alphas_arr = jnp.asarray(cfg.alphas, dtype=imgs_ds.dtype)
+        coefs, intercepts, ss_res_v, mae_v, ss_tot, n_eff = _discover(
+            imgs_ds, flow_u, flow_v, alphas_arr,
+            dt=cfg.dt, dx=cfg.dx, dy=cfg.dy, spatial_smooth=cfg.spatial_smooth,
+        )
+        if timer is not None:
+            sync_point(coefs)
+    with st("host_readback"):
+        # ONE bundled device->host read (sequential np.asarray reads pay a
+        # ~10-30 ms tunnel round-trip each); mean flow speed joins the bundle
+        coefs, intercepts, ss_res_v, mae_v, ss_tot, n_eff, mean_speed = jax.device_get(
+            (coefs, intercepts, ss_res_v, mae_v, ss_tot, n_eff,
+             _mean_speed(flow_u, flow_v))
+        )
     ss_tot, n_eff, mean_speed = float(ss_tot), float(n_eff), float(mean_speed)
 
     results = {}
@@ -207,17 +225,20 @@ def run(cfg: TransportConfig, U_raw: np.ndarray | None = None) -> dict[str, Any]
     if cfg.write_artifacts:
         from pathlib import Path
 
-        write_json(
-            Path(cfg.output_dir) / "transport_results.json",
-            {
-                "mean_flow_speed": mean_speed,
-                "term_names": TERM_NAMES,
-                "results": {
-                    str(a): {k: v for k, v in r.items() if k != "model"}
-                    for a, r in results.items()
+        with st("artifacts"):
+            write_json(
+                Path(cfg.output_dir) / "transport_results.json",
+                {
+                    "mean_flow_speed": mean_speed,
+                    "term_names": TERM_NAMES,
+                    "results": {
+                        str(a): {k: v for k, v in r.items() if k != "model"}
+                        for a, r in results.items()
+                    },
                 },
-            },
-        )
+            )
+    if timer is not None:
+        out["stage_seconds"] = dict(timer.stages)
     return out
 
 

@@ -80,6 +80,7 @@ def main() -> None:
         ),
         "transport": lambda o, p: tr_run(TransportConfig(data_dir=d, output_dir=o)),
     }
+    tr_warm_timer = StageTimer()
 
     results: dict[str, dict] = {"backend": jax.default_backend()}
 
@@ -153,6 +154,21 @@ def main() -> None:
                 results["analyze_stage_seconds_warm"]["_total"] = round(
                     time.perf_counter() - t0, 2
                 )
+        # transport warm stage attribution — same post-headline third pass
+        # as analyze (transport is the weakest warm number on chip, 7-10 s,
+        # and its stage split has never been captured)
+        if name == "transport" and "error" not in results[name]:
+            t0 = time.perf_counter()
+            tr_run(
+                TransportConfig(data_dir=d, output_dir="/tmp/real_bench_out/transport_warm"),
+                timer=tr_warm_timer,
+            )
+            results["transport_stage_seconds_warm"] = {
+                k: round(v, 2) for k, v in tr_warm_timer.stages.items()
+            }
+            results["transport_stage_seconds_warm"]["_total"] = round(
+                time.perf_counter() - t0, 2
+            )
         flush()
 
     results["stack_cache"] = (
