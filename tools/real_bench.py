@@ -80,8 +80,6 @@ def main() -> None:
         ),
         "transport": lambda o, p: tr_run(TransportConfig(data_dir=d, output_dir=o)),
     }
-    tr_warm_timer = StageTimer()
-
     results: dict[str, dict] = {"backend": jax.default_backend()}
 
     def flush() -> None:
@@ -156,8 +154,16 @@ def main() -> None:
                 )
         # transport warm stage attribution — same post-headline third pass
         # as analyze (transport is the weakest warm number on chip, 7-10 s,
-        # and its stage split has never been captured)
-        if name == "transport" and "error" not in results[name]:
+        # and its stage split has never been captured). Chip-only: on a CPU
+        # fallback battery the extra full transport run costs minutes on
+        # this single-core host and the attribution it exists for (the
+        # 7-10 s chip number) is not the measurement being taken.
+        if (
+            name == "transport"
+            and "error" not in results[name]
+            and jax.default_backend() != "cpu"
+        ):
+            tr_warm_timer = StageTimer()
             t0 = time.perf_counter()
             tr_run(
                 TransportConfig(data_dir=d, output_dir="/tmp/real_bench_out/transport_warm"),

@@ -22,7 +22,7 @@ mkdir -p "$DIR" outputs
 STATUS="$DIR/STATUS"
 : > "$STATUS"
 FAILED=""
-ALL_SECTIONS="flow_quick bench diag_patch real_bench comprehensive pallas mesh_scaling gather_bench flow_bench"
+ALL_SECTIONS="flow_quick knob_check bench diag_patch real_bench comprehensive cold_bench pallas mesh_scaling gather_bench flow_bench"
 SECTIONS="${SECTIONS:-$ALL_SECTIONS}"
 DONE_FILE="outputs/battery_sections_done.txt"
 
@@ -95,7 +95,7 @@ note "battery $STAMP start"
 #    Skipped entirely when only CPU sections are wanted (mesh_scaling can be
 #    pre-recorded without spending a healthy-tunnel window on it).
 needs_tpu=""
-for s in flow_quick bench diag_patch comprehensive real_bench pallas gather_bench flow_bench; do want "$s" && needs_tpu=1; done
+for s in flow_quick knob_check bench diag_patch comprehensive real_bench cold_bench pallas gather_bench flow_bench; do want "$s" && needs_tpu=1; done
 if [ -z "$needs_tpu" ]; then
   note "probe skipped (CPU-only sections: $SECTIONS)"
 else
@@ -162,6 +162,19 @@ PY
 if [ -n "$knob_exports" ]; then
   eval "$knob_exports"
   note "knobs: $(echo "$knob_exports" | tr '\n' ' ')"
+  # benched-knob == shipped-default assertion (VERDICT r4 #6): the sections
+  # below measure under the exported winners; the checker re-resolves the
+  # auto policies in a PDX_*-clean child and fails the battery loudly when
+  # a policy edit has made recorded numbers unrepresentative of out-of-box
+  # behavior. Chip-touching (needs jax init), hence timeout-bounded.
+  if want knob_check; then
+    if timeout 180 python tools/check_knob_defaults.py > "$DIR/knob_check.log" 2>&1; then
+      note "ok knob_check: $(tail -1 "$DIR/knob_check.log")"
+    else
+      note "FAIL knob_check (benched knobs != shipped defaults — see knob_check.log)"
+      FAILED="$FAILED knob_check"
+    fi
+  fi
 fi
 
 # 1. the driver bench (writes docs/measurements/bench_tpu_<stamp>.json itself)
@@ -203,6 +216,14 @@ json.dump(out, open(sys.argv[1], "w"), indent=2)
 print(out)
 PY
 
+# 3b. fresh-process cache-hot colds (VERDICT r4 #3): what a SECOND
+#     first-time user pays with the persistent compile cache populated.
+#     Child processes only — the parent never imports jax (one-client
+#     tunnel), so no abort_if_wedged wrapper here; each child is itself
+#     timeout-bounded inside cold_bench.py.
+want cold_bench && run_section cold_bench 4500 python tools/cold_bench.py /tmp/synth51 \
+  --out "$DIR/cold_bench.json"
+
 # 4. Pallas kernel microbenchmarks: parity + ms/iter vs the XLA path for the
 #    fused pointwise and blockwise Gram kernels (stamped record of the 8.9x /
 #    12x claims in docs/RESULTS.md)
@@ -233,11 +254,14 @@ else
   note "battery INCOMPLETE (failed:$FAILED)"
 fi
 
-# measurement-history invariant (CLAUDE.md): stamped artifacts must be
-# git-tracked. Fail loudly in STATUS when this run leaves any untracked so
-# the post-battery commit cannot be forgotten silently.
-UNTRACKED=$(git -C "$(dirname "$0")/.." status --porcelain docs/measurements 2>/dev/null | grep '^??' || true)
-if [ -n "$UNTRACKED" ]; then
-  note "UNTRACKED ARTIFACTS (commit them): $(echo "$UNTRACKED" | tr '\n' ' ')"
+# measurement-history invariant (CLAUDE.md, VERDICT r3+r4): stamped
+# artifacts must be git-tracked. Stage them HERE — rounds 3 and 4 both
+# ended with orphaned battery dirs because staging was left to a human —
+# then warn that a commit is still owed (the battery never commits: the
+# message belongs to whoever interprets the numbers).
+git -C . add docs/measurements 2>/dev/null || true
+STAGED_UNCOMMITTED=$(git -C . status --porcelain docs/measurements 2>/dev/null | grep -c '^[AM]' || true)
+if [ "${STAGED_UNCOMMITTED:-0}" -gt 0 ]; then
+  note "STAGED $STAGED_UNCOMMITTED measurement artifacts — commit them"
 fi
 cp "$STATUS" outputs/tpu_battery_status.txt 2>/dev/null || true
