@@ -22,7 +22,7 @@ mkdir -p "$DIR" outputs
 STATUS="$DIR/STATUS"
 : > "$STATUS"
 FAILED=""
-ALL_SECTIONS="flow_quick knob_check bench diag_patch real_bench comprehensive cold_bench pallas mesh_scaling gather_bench flow_bench"
+ALL_SECTIONS="flow_quick knob_check bench diag_patch real_bench profile comprehensive cold_bench pallas mesh_scaling gather_bench flow_bench"
 SECTIONS="${SECTIONS:-$ALL_SECTIONS}"
 DONE_FILE="outputs/battery_sections_done.txt"
 
@@ -95,7 +95,7 @@ note "battery $STAMP start"
 #    Skipped entirely when only CPU sections are wanted (mesh_scaling can be
 #    pre-recorded without spending a healthy-tunnel window on it).
 needs_tpu=""
-for s in flow_quick knob_check bench diag_patch comprehensive real_bench cold_bench pallas gather_bench flow_bench; do want "$s" && needs_tpu=1; done
+for s in flow_quick knob_check bench diag_patch comprehensive real_bench profile cold_bench pallas gather_bench flow_bench; do want "$s" && needs_tpu=1; done
 if [ -z "$needs_tpu" ]; then
   note "probe skipped (CPU-only sections: $SECTIONS)"
 else
@@ -215,6 +215,12 @@ out["backend"] = jax.default_backend()
 json.dump(out, open(sys.argv[1], "w"), indent=2)
 print(out)
 PY
+
+# 2b. chip-utilization traces (VERDICT r4 #1): device-busy %, dispatch
+#     counts, transfer stats for the headline workloads. Parsed summary is
+#     the durable artifact; raw xplanes kept gzipped when small.
+want profile && abort_if_wedged profile && run_section profile 1800 python tools/profile_trace.py /tmp/synth51 \
+  --out "$DIR/profile.json"
 
 # 3b. fresh-process cache-hot colds (VERDICT r4 #3): what a SECOND
 #     first-time user pays with the persistent compile cache populated.

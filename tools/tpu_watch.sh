@@ -13,6 +13,11 @@ set -u
 cd "$(dirname "$0")/.."
 PROBE_EVERY=${PROBE_EVERY:-600}
 MAX_HOURS=${MAX_HOURS:-11}
+# Sections this watch is responsible for retiring (round 5: the VERDICT-owed
+# evidence first — knob assertion, utilization traces, cache-hot colds —
+# plus the headline records; diag/gather/flow microbenches are settled and
+# flow_bench once crashed the worker, so they are not in the default set).
+WANTED="${WANTED:-flow_quick knob_check bench real_bench profile comprehensive cold_bench pallas}"
 deadline=$(( $(date +%s) + MAX_HOURS*3600 ))
 
 probe_once() {
@@ -48,7 +53,7 @@ while [ "$(date +%s)" -lt "$deadline" ]; do
     [ "$waited" -gt 0 ] && echo "    (waited ${waited}s for /tmp/cpu_busy to clear)"
     # resume: run only the sections no previous attempt completed
     remaining=""
-    for s in flow_quick bench diag_patch comprehensive real_bench pallas mesh_scaling gather_bench flow_bench; do
+    for s in $WANTED; do
       grep -q "^$s " outputs/battery_sections_done.txt 2>/dev/null || remaining="$remaining $s"
     done
     if [ -z "$remaining" ]; then
@@ -61,7 +66,7 @@ while [ "$(date +%s)" -lt "$deadline" ]; do
     rc=$?
     rm -f /tmp/battery_running
     still=""
-    for s in flow_quick bench diag_patch comprehensive real_bench pallas mesh_scaling gather_bench flow_bench; do
+    for s in $WANTED; do
       grep -q "^$s " outputs/battery_sections_done.txt 2>/dev/null || still="$still $s"
     done
     if [ -z "$still" ]; then
