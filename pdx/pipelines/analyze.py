@@ -602,7 +602,7 @@ def run(cfg: AnalyzeConfig, U_raw: np.ndarray | None = None, timer=None) -> dict
     }
 
     if cfg.write_artifacts:
-      with st("artifacts_and_figures"):
+      with st("artifacts_json"):
         out_dir = Path(cfg.output_dir)
         # display-converted copies for the artifact contract
         def displayed(r: dict) -> dict:
@@ -660,6 +660,18 @@ def run(cfg: AnalyzeConfig, U_raw: np.ndarray | None = None, timer=None) -> dict
                 },
             },
         )
+      # MODEL_COMPARISON.png in-run: the reference's analyze_results.py draws
+      # it itself (:716-735), so the benched analyze must emit the same
+      # artifact set for an apples-to-apples wall-clock (VERDICT r4 #4). The
+      # contract JSONs this reads were just written above.
+      with st("fig_model_comparison"):
+        try:
+            from pdx.report.figures import model_comparison_figure
+
+            model_comparison_figure(out_dir)
+        except Exception as e:  # pragma: no cover - host-figure guard
+            print(f"   (skipped model comparison figure: {e})")
+      with st("fig4_snapshots"):
         # FIG4 qualitative rollout snapshots, try/except-guarded like the
         # reference block (analyze_results.py:1104-1230)
         try:

@@ -36,30 +36,41 @@ def _load_contract(slides_dir: Path) -> tuple[dict, dict]:
 
 def model_comparison_figure(slides_dir: str | Path, out_name: str = "MODEL_COMPARISON.png") -> Path:
     """2x3 grid of per-model coefficient bar charts (analyze_results.py:716-735)."""
+    from pdx.report.render_cache import cached_render
+
     slides_dir = Path(slides_dir)
     _best, comp = _load_contract(slides_dir)
     models = comp["models"]
-    fig, axes = plt.subplots(2, 3, figsize=(20, 12))
-    axes = axes.ravel()
-    for idx, m in enumerate(models[:6]):
-        ax = axes[idx]
-        coeffs = np.asarray(m["coeffs"], dtype=float)
-        colors = ["red" if abs(c) > 1e-5 else "lightgray" for c in coeffs]
-        ax.bar(range(len(coeffs)), coeffs, color=colors, edgecolor="black")
-        ax.set_xticks(range(len(m["terms"])))
-        ax.set_xticklabels(m["terms"], fontsize=9, rotation=45, ha="right")
-        ax.set_ylabel("Coefficient", fontsize=10, fontweight="bold")
-        ax.set_title(
-            f"{m['name']}\nR2 = {m['r2_test']:.4f}, Active: {m['n_active']}/{m['n_total']}",
-            fontsize=11,
-            fontweight="bold",
-        )
-        ax.grid(True, alpha=0.3, axis="y")
-        ax.axhline(0, color="black", linewidth=1)
-    plt.tight_layout()
     out = slides_dir / out_name
-    plt.savefig(out, dpi=150, bbox_inches="tight")
-    plt.close(fig)
+
+    def _render() -> None:
+        fig, axes = plt.subplots(2, 3, figsize=(20, 12))
+        axes = axes.ravel()
+        for idx, m in enumerate(models[:6]):
+            ax = axes[idx]
+            coeffs = np.asarray(m["coeffs"], dtype=float)
+            colors = ["red" if abs(c) > 1e-5 else "lightgray" for c in coeffs]
+            ax.bar(range(len(coeffs)), coeffs, color=colors, edgecolor="black")
+            ax.set_xticks(range(len(m["terms"])))
+            ax.set_xticklabels(m["terms"], fontsize=9, rotation=45, ha="right")
+            ax.set_ylabel("Coefficient", fontsize=10, fontweight="bold")
+            ax.set_title(
+                f"{m['name']}\nR2 = {m['r2_test']:.4f}, Active: {m['n_active']}/{m['n_total']}",
+                fontsize=11,
+                fontweight="bold",
+            )
+            ax.grid(True, alpha=0.3, axis="y")
+            ax.axhline(0, color="black", linewidth=1)
+        plt.tight_layout()
+        plt.savefig(out, dpi=150, bbox_inches="tight")
+        plt.close(fig)
+
+    cached_render(
+        "model_comparison",
+        [json.dumps({"models": models[:6]}, sort_keys=True).encode()],
+        [out],
+        _render,
+    )
     return out
 
 
@@ -354,41 +365,53 @@ def qualitative_rollout_snapshots(
 
     outs: list[Path] = []
     for k in sorted(err_maps):
-        err4, err3 = err_maps[k]
+        outs.append(slides_dir / f"FIG4_QUAL_ROLLOUT_K{k}.png")
+        outs.append(slides_dir / f"FIG4B_ERROR_GROWTH_PLUS_MAP_K{k}.png")
 
-        fig, axes = plt.subplots(1, 2, figsize=(9.0, 4.0))
-        for ax in axes:
-            ax.set_xticks([])
-            ax.set_yticks([])
-        im0 = axes[0].imshow(err4, cmap="magma", vmin=vmin, vmax=vmax)
-        axes[0].set_title(f"M4 |error| (k={k})")
-        axes[1].imshow(err3, cmap="magma", vmin=vmin, vmax=vmax)
-        axes[1].set_title(f"M3 |error| (k={k})")
-        fig.colorbar(im0, ax=axes, fraction=0.046, pad=0.04)
-        p = slides_dir / f"FIG4_QUAL_ROLLOUT_K{k}.png"
-        plt.savefig(p, dpi=150, bbox_inches="tight")
-        plt.close(fig)
-        outs.append(p)
+    def _render() -> None:
+        for k in sorted(err_maps):
+            err4, err3 = err_maps[k]
 
-        ks = list(range(1, k + 1))
-        fig2, axes2 = plt.subplots(1, 2, figsize=(11.0, 4.0))
-        axes2[0].plot(ks, curve4_full[:k], marker="o", linewidth=2.0, label="M4")
-        axes2[0].plot(ks, curve3_full[:k], marker="o", linewidth=2.0, label="M3")
-        axes2[0].set_yscale("log")
-        axes2[0].set_xlabel("Horizon k")
-        axes2[0].set_ylabel("Rollout nRMSE (lower is better)")
-        axes2[0].set_title("Rollout error growth over horizon k")
-        axes2[0].grid(True, alpha=0.25)
-        axes2[0].legend(frameon=False, ncol=2)
-        im = axes2[1].imshow(err4, cmap="magma", vmin=vmin, vmax=vmax)
-        axes2[1].set_xticks([])
-        axes2[1].set_yticks([])
-        axes2[1].set_title(f"M4 |error| at k={k}")
-        fig2.colorbar(im, ax=axes2[1], fraction=0.046, pad=0.04)
-        p2 = slides_dir / f"FIG4B_ERROR_GROWTH_PLUS_MAP_K{k}.png"
-        plt.savefig(p2, dpi=150, bbox_inches="tight")
-        plt.close(fig2)
-        outs.append(p2)
+            fig, axes = plt.subplots(1, 2, figsize=(9.0, 4.0))
+            for ax in axes:
+                ax.set_xticks([])
+                ax.set_yticks([])
+            im0 = axes[0].imshow(err4, cmap="magma", vmin=vmin, vmax=vmax)
+            axes[0].set_title(f"M4 |error| (k={k})")
+            axes[1].imshow(err3, cmap="magma", vmin=vmin, vmax=vmax)
+            axes[1].set_title(f"M3 |error| (k={k})")
+            fig.colorbar(im0, ax=axes, fraction=0.046, pad=0.04)
+            p = slides_dir / f"FIG4_QUAL_ROLLOUT_K{k}.png"
+            plt.savefig(p, dpi=150, bbox_inches="tight")
+            plt.close(fig)
+
+            ks = list(range(1, k + 1))
+            fig2, axes2 = plt.subplots(1, 2, figsize=(11.0, 4.0))
+            axes2[0].plot(ks, curve4_full[:k], marker="o", linewidth=2.0, label="M4")
+            axes2[0].plot(ks, curve3_full[:k], marker="o", linewidth=2.0, label="M3")
+            axes2[0].set_yscale("log")
+            axes2[0].set_xlabel("Horizon k")
+            axes2[0].set_ylabel("Rollout nRMSE (lower is better)")
+            axes2[0].set_title("Rollout error growth over horizon k")
+            axes2[0].grid(True, alpha=0.25)
+            axes2[0].legend(frameon=False, ncol=2)
+            im = axes2[1].imshow(err4, cmap="magma", vmin=vmin, vmax=vmax)
+            axes2[1].set_xticks([])
+            axes2[1].set_yticks([])
+            axes2[1].set_title(f"M4 |error| at k={k}")
+            fig2.colorbar(im, ax=axes2[1], fraction=0.046, pad=0.04)
+            p2 = slides_dir / f"FIG4B_ERROR_GROWTH_PLUS_MAP_K{k}.png"
+            plt.savefig(p2, dpi=150, bbox_inches="tight")
+            plt.close(fig2)
+
+    from pdx.report.render_cache import cached_render
+
+    cached_render(
+        "fig4_snapshots",
+        [maps, curve4_full, curve3_full, ks_valid, (vmin, vmax)],
+        outs,
+        _render,
+    )
     return outs
 
 
