@@ -20,7 +20,7 @@ import time
 BASELINE_SECONDS = 14.97  # reference CPU wall-clock on this host (see docstring)
 
 
-def _tpu_tunnel_healthy(timeout_s: float = 90.0, attempts: int = 2) -> bool:
+def _tpu_tunnel_healthy(timeout_s: float = 90.0, attempts: int = 4) -> bool:
     """Probe the accelerator with a tiny compute+read in a SUBPROCESS.
 
     The tunneled axon backend can wedge for hours (device->host reads hang
@@ -29,8 +29,10 @@ def _tpu_tunnel_healthy(timeout_s: float = 90.0, attempts: int = 2) -> bool:
     in-process — and it must run BEFORE this process initializes jax
     (see main): the tunnel serves one client at a time, so a probe spawned
     while the parent holds the chip can hang against a healthy tunnel.
-    A single hang retries once: a probe launched seconds after another
-    process released the chip can stall on acquisition.
+    A hung probe retries with ~60 s gaps: a probe launched seconds after
+    another process released the chip can stall on acquisition for minutes
+    against a perfectly healthy tunnel (seen 2026-08-19 09:49Z — bench's
+    2x30 s probe gave up between two healthy battery sections).
     """
     import subprocess
     import sys
@@ -51,7 +53,7 @@ def _tpu_tunnel_healthy(timeout_s: float = 90.0, attempts: int = 2) -> bool:
         except subprocess.TimeoutExpired:
             pass
         if i + 1 < attempts:
-            time.sleep(30)
+            time.sleep(60)
     return False
 
 

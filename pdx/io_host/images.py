@@ -143,6 +143,50 @@ def clear_stack_memcache() -> None:
     """Drop the in-process decoded-stack cache (benchmark harnesses call
     this before a 'cold' pass so cold timings include the real load)."""
     _MEM_CACHE.clear()
+    _DEVICE_STACK.clear()
+
+
+# Device-residency companion to the memcache: re-shipping the full-res
+# stack through the tunnel costs ~4 s per run at reference scale (u16 =
+# 134 MB H2D) and dominated every warm pipeline stage table (transport
+# ship_normalize_resize 4.11 s, battery_20260819T062436Z). A long-lived
+# session re-running a pipeline on the same decoded stack should pay the
+# ship once — exactly the regime the warm numbers describe. Two slots:
+# the raw-dtype ship (analyze/patch heads cast inside their fused jit
+# programs) and one casted variant (transport). Entries assume read-only
+# stacks (the memcache publishes read-only; callers passing U_raw in must
+# not mutate it afterwards).
+_DEVICE_STACK: dict[tuple, object] = {}
+_DEVICE_STACK_CAP = 2
+
+
+def device_stack(U_raw: np.ndarray, dtype=None):
+    """Ship ``U_raw`` to the default device (optionally casting), caching
+    the device buffer so an identical re-ship is free. Opt out with
+    ``PDX_DEVICE_STACK_CACHE=0``."""
+    import jax.numpy as jnp
+
+    if os.environ.get("PDX_DEVICE_STACK_CACHE", "1") == "0":
+        arr = jnp.asarray(U_raw)
+        return arr.astype(dtype) if dtype is not None else arr
+    # id() alone can be reused after gc — add shape/dtype and a strided
+    # content fingerprint (a few thousand elements, ~free vs the 134 MB ship)
+    samp = np.ascontiguousarray(U_raw[::5, ::61, ::67])
+    key = (
+        id(U_raw), U_raw.shape, str(U_raw.dtype),
+        None if dtype is None else str(jnp.dtype(dtype)),
+        hash(samp.tobytes()),
+    )
+    hit = _DEVICE_STACK.get(key)
+    if hit is not None:
+        return hit
+    arr = jnp.asarray(U_raw)
+    if dtype is not None:
+        arr = arr.astype(dtype)
+    while len(_DEVICE_STACK) >= _DEVICE_STACK_CAP:
+        _DEVICE_STACK.pop(next(iter(_DEVICE_STACK)))
+    _DEVICE_STACK[key] = arr
+    return arr
 
 
 def _cache_dir() -> Path:

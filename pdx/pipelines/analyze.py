@@ -160,9 +160,11 @@ def preprocess(cfg: AnalyzeConfig, U_raw: np.ndarray, timer=None) -> jnp.ndarray
     with st("denoise_normalize"):
         from pdx.preprocess import resize_denoise_normalize
 
+        from pdx.io_host.images import device_stack
+
         T, H, W = U_raw.shape
         U = sync(resize_denoise_normalize(
-            jnp.asarray(U_raw),
+            device_stack(U_raw),
             out_h=H // cfg.downsample, out_w=W // cfg.downsample,
             sigma=cfg.denoise_sigma1, dtype_name=jnp.dtype(dtype).name,
         ))

@@ -262,24 +262,58 @@ def _ransac_fit(X: np.ndarray, y: np.ndarray, rng: np.random.Generator, max_tria
     return coef[:p]
 
 
+def _ridge_one(U, idx, dx, dt_frame, use_fourier, margin):
+    """sindy_discover's ridge path as one traceable unit: lib + std scaling
+    + row gather + centered ridge QR + unscale. Shared by the vmapped
+    per-regime family dispatch and the single-method jit below."""
+    lib, tgt = _build_lib_tgt(U, dx, dt_frame, use_fourier, margin)
+    scales = jnp.std(lib, axis=0)
+    scales = jnp.where(scales < 1e-10, 1.0, scales)
+    Xs = (lib / scales)[idx]
+    ys = tgt[idx]
+    return _centered_ridge(Xs, ys, 1e-4) / scales
+
+
 @partial(jax.jit, static_argnames=("use_fourier", "margin"))
 def _batched_ridge_family(U_stack, idx_stack, dx, dt_frame, use_fourier, margin):
-    """One vmapped dispatch for every ridge-family method of a regime.
+    """One vmapped dispatch for every ridge-family method of a regime."""
+    return jax.vmap(
+        lambda U, idx: _ridge_one(U, idx, dx, dt_frame, use_fourier, margin)
+    )(U_stack, idx_stack)
 
-    Each variant is sindy_discover's ridge path verbatim (lib + std scaling
-    + row gather + centered ridge QR); only the preprocessed input and the
-    pre-drawn subsample indices differ per variant.
-    """
 
-    def one(U, idx):
-        lib, tgt = _build_lib_tgt(U, dx, dt_frame, use_fourier, margin)
-        scales = jnp.std(lib, axis=0)
-        scales = jnp.where(scales < 1e-10, 1.0, scales)
-        Xs = (lib / scales)[idx]
-        ys = tgt[idx]
-        return _centered_ridge(Xs, ys, 1e-4) / scales
+# single-method programs: each method used to run its scaling/gather/center
+# glue EAGERLY between the jitted stages — ~250 tiny one-op executables per
+# matrix on the tunnel (one ~30 ms RPC dispatch each, and on cold runs one
+# shipped executable each). One fused program per method family instead.
+@partial(jax.jit, static_argnames=("use_fourier", "margin"))
+def _ridge_fit_idx(U, idx, dx, dt_frame, use_fourier, margin):
+    return _ridge_one(U, idx, dx, dt_frame, use_fourier, margin)
 
-    return jax.vmap(one)(U_stack, idx_stack)
+
+@partial(jax.jit, static_argnames=("use_fourier", "margin", "max_iter"))
+def _huber_fit_idx(U, idx, dx, dt_frame, use_fourier, margin, max_iter=200):
+    from pdx.solve.robust import irls_huber
+
+    lib, tgt = _build_lib_tgt(U, dx, dt_frame, use_fourier, margin)
+    scales = jnp.std(lib, axis=0)
+    scales = jnp.where(scales < 1e-10, 1.0, scales)
+    Xs = (lib / scales)[idx]
+    ys = tgt[idx]
+    xm = jnp.mean(Xs, axis=0)
+    ym = jnp.mean(ys)
+    coef = irls_huber(Xs - xm, ys - ym, alpha=1e-4, delta=1.35, max_iter=max_iter)
+    return coef / scales
+
+
+@partial(jax.jit, static_argnames=("use_fourier", "margin"))
+def _subsample_rows(U, idx, dx, dt_frame, use_fourier, margin):
+    """(Xs, ys, scales) for the host-side RANSAC loop — one program instead
+    of eager std/where/divide/gather."""
+    lib, tgt = _build_lib_tgt(U, dx, dt_frame, use_fourier, margin)
+    scales = jnp.std(lib, axis=0)
+    scales = jnp.where(scales < 1e-10, 1.0, scales)
+    return (lib / scales)[idx], tgt[idx], scales
 
 
 def sindy_discover(
@@ -297,29 +331,20 @@ def sindy_discover(
     Subsample indices come from the module-level legacy np.random stream in
     the reference's draw order.
     """
-    lib, tgt = _build_lib_tgt(U, dx, dt_frame, use_fourier, margin)
-    scales = jnp.std(lib, axis=0)
-    scales = jnp.where(scales < 1e-10, 1.0, scales)
-    lib_norm = lib / scales
-
-    n_total = int(tgt.shape[0])
+    T, H, W = U.shape
+    n_total = (T - 1) * (H - 2 * margin) * (W - 2 * margin)
     n_samples = min(n_subsample, n_total)
-    idx = np.random.choice(n_total, n_samples, replace=False)  # legacy global stream
-    Xs = lib_norm[jnp.asarray(idx)]
-    ys = tgt[jnp.asarray(idx)]
+    idx = jnp.asarray(
+        np.random.choice(n_total, n_samples, replace=False)  # legacy global stream
+    )
 
     if regressor == "huber":
-        from pdx.solve.robust import irls_huber
-
-        # center for intercept equivalence
-        xm = jnp.mean(Xs, axis=0)
-        ym = jnp.mean(ys)
-        coef = irls_huber(Xs - xm, ys - ym, alpha=1e-4, delta=1.35, max_iter=200)
-    elif regressor == "ransac":
-        coef = jnp.asarray(_ransac_fit(np.asarray(Xs), np.asarray(ys), np.random.default_rng(0)))
-    else:
-        coef = _centered_ridge(Xs, ys, 1e-4)
-    return np.asarray(coef / scales)
+        return np.asarray(_huber_fit_idx(U, idx, dx, dt_frame, use_fourier, margin))
+    if regressor == "ransac":
+        Xs, ys, scales = _subsample_rows(U, idx, dx, dt_frame, use_fourier, margin)
+        coef = _ransac_fit(np.asarray(Xs), np.asarray(ys), np.random.default_rng(0))
+        return np.asarray(coef / np.asarray(scales))
+    return np.asarray(_ridge_fit_idx(U, idx, dx, dt_frame, use_fourier, margin))
 
 
 @partial(jax.jit, static_argnames=("test_width", "margin"))
@@ -369,23 +394,52 @@ def weak_form_sindy(
     phi /= phi.sum()
     phi_j = jnp.asarray(phi, dtype=U.dtype)
 
-    lib, tgt, scales = _weak_form_lib_tgt(U, phi_j, dx, dt_frame, test_width, margin)
-    n_total = int(tgt.shape[0])
+    T, H, W = U.shape
+    n_total = (T - 1) * (H - 2 * margin) * (W - 2 * margin)
     _ = np.random.choice(n_total, min(n_subsample, n_total), replace=False)  # consumed, unused (reference quirk)
-    coef = _centered_ridge(lib / scales, tgt, 1e-4)
-    return np.asarray(coef / scales)
+    return np.asarray(_weak_fit(U, phi_j, dx, dt_frame, test_width, margin))
+
+
+@partial(jax.jit, static_argnames=("test_width", "margin"))
+def _weak_fit(U, phi_j, dx, dt_frame, test_width, margin):
+    lib, tgt, scales = _weak_form_lib_tgt(U, phi_j, dx, dt_frame, test_width, margin)
+    return _centered_ridge(lib / scales, tgt, 1e-4) / scales
+
+
+@partial(jax.jit, static_argnames=("use_fourier", "margin"))
+def _ridge_fit_frames(U, frame_idx, idx, dx, dt_frame, use_fourier, margin):
+    """Bootstrap-member fit with the frame gather fused into the program
+    (one dispatch per member instead of an eager gather + fit chain)."""
+    return _ridge_one(U[frame_idx], idx, dx, dt_frame, use_fourier, margin)
 
 
 def ensemble_sindy(U: jnp.ndarray, dx: float, dt_frame: float, n_ensemble: int = 5) -> np.ndarray:
-    """Frame-bootstrap ensemble (comprehensive_benchmark.py:456-471)."""
+    """Frame-bootstrap ensemble (comprehensive_benchmark.py:456-471).
+
+    Host draws stay in the legacy global-stream order (frame bootstrap,
+    then the member's subsample); each member runs as one jitted program.
+    Members recompile per distinct unique-frame count — the reference's
+    unique-sorted bootstrap makes the member length data-dependent.
+    """
     coefs = []
-    n_frames = U.shape[0]
+    n_frames, H, W = U.shape
+    margin = 3
     for _ in range(n_ensemble):
         idx = np.random.choice(n_frames, n_frames, replace=True)
         idx = np.sort(np.unique(idx))
         if len(idx) < 3:
             continue
-        coefs.append(sindy_discover(U[jnp.asarray(idx)], dx, dt_frame))
+        n_total = (len(idx) - 1) * (H - 2 * margin) * (W - 2 * margin)
+        n_samples = min(20_000, n_total)
+        sample_idx = np.random.choice(n_total, n_samples, replace=False)
+        coefs.append(
+            np.asarray(
+                _ridge_fit_frames(
+                    U, jnp.asarray(idx), jnp.asarray(sample_idx),
+                    dx, dt_frame, True, margin,
+                )
+            )
+        )
     return np.median(np.stack(coefs), axis=0)
 
 
@@ -483,17 +537,9 @@ def _run_methods_batched(
             elif fam == "huber":
                 d_pre = pre(data)
                 idx = np.random.choice(n_total, n_samples, replace=False)
-                lib, tgt = _build_lib_tgt(d_pre, dx, dt_frame, True, margin)
-                scales = jnp.std(lib, axis=0)
-                scales = jnp.where(scales < 1e-10, 1.0, scales)
-                Xs = (lib / scales)[jnp.asarray(idx)]
-                ys = tgt[jnp.asarray(idx)]
-                from pdx.solve.robust import irls_huber
-
-                xm = jnp.mean(Xs, axis=0)
-                ym = jnp.mean(ys)
-                coef = irls_huber(Xs - xm, ys - ym, alpha=1e-4, delta=1.35, max_iter=200)
-                singles[name] = coef / scales
+                singles[name] = _huber_fit_idx(
+                    d_pre, jnp.asarray(idx), dx, dt_frame, True, margin
+                )
             elif fam == "ransac":
                 # Fourier derivatives — sindy_discover's default, matching the
                 # reference M08 (comprehensive_benchmark.py:485,352) and this

@@ -153,9 +153,11 @@ def run(cfg: PatchDiscoveryConfig, U_raw: np.ndarray | None = None) -> dict[str,
 
     from pdx.preprocess import resize_denoise_normalize
 
+    from pdx.io_host.images import device_stack
+
     T0, H0, W0 = U_raw.shape
     U = resize_denoise_normalize(
-        jnp.asarray(U_raw),
+        device_stack(U_raw),
         out_h=H0 // cfg.downsample, out_w=W0 // cfg.downsample,
         sigma=cfg.denoise_sigma1, eps=1e-12, dtype_name=jnp.dtype(dtype).name,
     )

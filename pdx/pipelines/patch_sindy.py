@@ -452,7 +452,9 @@ def run(cfg: PatchSindyConfig, U_raw: np.ndarray | None = None) -> dict[str, Any
             cfg.data_dir, max_images=cfg.max_images or 10**9,
             mode="grayscale_u8", dtype=np.uint8,
         )
-        U = jnp.asarray(U_raw).astype(dtype) / jnp.asarray(255.0, dtype=dtype)
+        from pdx.io_host.images import device_stack
+
+        U = device_stack(U_raw).astype(dtype) / jnp.asarray(255.0, dtype=dtype)
     else:
         U = jnp.asarray(U_raw, dtype=dtype)
 

@@ -155,7 +155,9 @@ def run(
             # transport_pde_discovery.py:32-41)
             U_raw = load_images(cfg.data_dir, max_images=cfg.max_images, dtype=np.uint16)
     with st("ship_normalize_resize"):
-        images = jnp.asarray(U_raw).astype(dtype)
+        from pdx.io_host.images import device_stack
+
+        images = device_stack(U_raw, dtype)
         images = images / images.max()
 
         T, H, W = images.shape

@@ -70,6 +70,23 @@ def _dmd_reconstruct(Phi_re: Array, Phi_im: Array, C_re: Array, C_im: Array):
     return Phi_re @ C_re - Phi_im @ C_im
 
 
+@partial(jax.jit, static_argnames=("r",))
+def _dmd_prep(data: Array, r: int):
+    """Snapshot split + SVD projection as ONE program: the eager
+    reshape/transpose/slice chain was ~4 tunnel dispatches per DMD call."""
+    T = data.shape[0]
+    X = data.reshape(T, -1).T
+    M, Atilde = _dmd_project(X[:, :-1], X[:, 1:], r)
+    return M, Atilde, X[:, 0]
+
+
+@partial(jax.jit, static_argnames=("H", "W"))
+def _dmd_stack(Phi_re: Array, Phi_im: Array, C_re: Array, C_im: Array, H: int, W: int):
+    """Reconstruct and reshape back to the (T, H, W) stack in one program."""
+    recon = Phi_re @ C_re - Phi_im @ C_im  # (N, T)
+    return recon.T.reshape(-1, H, W)
+
+
 def _vandermonde(eigvals: np.ndarray, b: np.ndarray, T: int) -> np.ndarray:
     """Host: C[:, t] = b * eigvals**t, complex (r, T)."""
     t_pow = eigvals[None, :] ** np.arange(T)[:, None]  # (T, r)
@@ -84,24 +101,20 @@ def standard_dmd(data: Array, rank: int | None = None) -> Array:
     Vandermonde rollup over frames.
     """
     T, H, W = data.shape
-    X = data.reshape(T, -1).T  # (N, T)
-    X1, X2 = X[:, :-1], X[:, 1:]
-
     r = min(rank or (T - 1), T - 1, T - 2)
-    M, Atilde = _dmd_project(X1, X2, r)
+    M, Atilde, x0 = _dmd_prep(data, r)
 
     eigvals, Wm = np.linalg.eig(np.asarray(Atilde))  # host: tiny complex eig
     W_re = jnp.asarray(np.ascontiguousarray(Wm.real), dtype=data.dtype)
     W_im = jnp.asarray(np.ascontiguousarray(Wm.imag), dtype=data.dtype)
 
-    Phi_re, Phi_im, b_re, b_im = _dmd_modes_and_amplitudes(M, W_re, W_im, X[:, 0])
+    Phi_re, Phi_im, b_re, b_im = _dmd_modes_and_amplitudes(M, W_re, W_im, x0)
     b = np.asarray(b_re) + 1j * np.asarray(b_im)
 
     C = _vandermonde(eigvals, b, T)
     C_re = jnp.asarray(np.ascontiguousarray(C.real), dtype=data.dtype)
     C_im = jnp.asarray(np.ascontiguousarray(C.imag), dtype=data.dtype)
-    recon = _dmd_reconstruct(Phi_re, Phi_im, C_re, C_im)  # (N, T)
-    return recon.T.reshape(data.shape).astype(data.dtype)
+    return _dmd_stack(Phi_re, Phi_im, C_re, C_im, H, W)
 
 
 @partial(jax.jit, static_argnames=("cutoff",))
@@ -133,10 +146,8 @@ def sparse_dmd(data: Array, rank: int = 20, sparsity: float = 0.1) -> Array:
     data-dependent shape), then the kept modes are re-fit on device.
     """
     T, H, W = data.shape
-    X = data.reshape(T, -1).T
-    X1, X2 = X[:, :-1], X[:, 1:]
     r = min(rank, T - 1)
-    M, Atilde = _dmd_project(X1, X2, r)
+    M, Atilde, x0 = _dmd_prep(data, r)
 
     eigvals, Wm = np.linalg.eig(np.asarray(Atilde))
     Phi = np.asarray(M) @ Wm  # (N, r) complex, host
@@ -148,16 +159,16 @@ def sparse_dmd(data: Array, rank: int = 20, sparsity: float = 0.1) -> Array:
 
     Pr = jnp.asarray(np.ascontiguousarray(Phi_k.real), dtype=data.dtype)
     Pi = jnp.asarray(np.ascontiguousarray(Phi_k.imag), dtype=data.dtype)
-    b_re, b_im = _lstsq_complex_real(Pr, Pi, X[:, 0])
+    b_re, b_im = _lstsq_complex_real(Pr, Pi, x0)
     b = np.asarray(b_re) + 1j * np.asarray(b_im)
 
     C = _vandermonde(eig_k, b, T)
-    recon = _dmd_reconstruct(
+    return _dmd_stack(
         Pr, Pi,
         jnp.asarray(np.ascontiguousarray(C.real), dtype=data.dtype),
         jnp.asarray(np.ascontiguousarray(C.imag), dtype=data.dtype),
+        H, W,
     )
-    return recon.T.reshape(data.shape).astype(data.dtype)
 
 
 @jax.jit
