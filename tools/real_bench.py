@@ -180,7 +180,11 @@ def main() -> None:
     results["stack_cache"] = (
         "fresh dir + cleared memcache per pipeline: cold includes the full "
         "decode+cache-write; warm hits that pipeline's own in-process cache "
-        "(zero load I/O, like any long-lived session re-running the suite)"
+        "(zero load I/O, like any long-lived session re-running the suite). "
+        "As of round 5 the same policy covers device residency: warm passes "
+        "reuse the cold pass's shipped device stack (io_host.images."
+        "device_stack; clear_stack_memcache drops it, so pipeline N never "
+        "reuses N-1's buffers)"
     )
     flush()
 
