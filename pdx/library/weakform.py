@@ -16,7 +16,10 @@ per-frame FFT loop (:346-350) becomes one batched FFT + one GEMM.
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 from jax import Array
 
@@ -148,8 +151,6 @@ def build_weakform_dataset(
         raise ValueError("unknown weak-form basis: use 'fourier' or 'gaussian'")
 
     if operator == "fd":
-        from pdx.ops.fd import gradients_periodic, laplacian_periodic
-
         # FD stencils have no spectral-cutoff concept: grad_cutoff cannot
         # apply in fd mode. None = "caller left the default"; any explicit
         # value is rejected loudly instead of silently ignored.
@@ -159,23 +160,68 @@ def build_weakform_dataset(
                 "fd-mode gradients are plain central stencils (leave "
                 "grad_cutoff=None with operator='fd')"
             )
+    elif operator != "spectral":
+        raise ValueError("weakform operator must be 'spectral' or 'fd'")
+    if dictionary not in ("true", "rich"):
+        raise ValueError("weakform dictionary must be 'true' or 'rich'")
 
-        def d_grad(f, cutoff=1.0):
+    if basis != "fourier":
+        k2 = k4 = jnp.zeros((phi.shape[0],), dtype=dtype)
+    X, y = _build_device(
+        U, phi, k2, k4,
+        dx=float(dx), dy=float(dy), dt_frame=float(dt_frame),
+        basis=basis, operator=operator, dictionary=dictionary,
+        cutoff=float(0.65 if grad_cutoff is None else grad_cutoff),
+        motion_correct=bool(motion_correct),
+        motion_est_sigma_px=float(motion_est_sigma_px),
+        motion_smooth_window=int(motion_smooth_window),
+        motion_clip_px=None if motion_clip_px is None else float(motion_clip_px),
+    )
+    if dictionary == "true":
+        names = ["lap", "bih", "gradsq"]
+    else:
+        names = ["one", "u", "u2", "ux", "uy", "lap", "bih", "gradsq", "u_lap"]
+    return names, X, y
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "dx", "dy", "dt_frame", "basis", "operator", "dictionary", "cutoff",
+        "motion_correct", "motion_est_sigma_px", "motion_smooth_window",
+        "motion_clip_px",
+    ),
+)
+def _build_device(
+    U, phi, k2, k4, *, dx, dy, dt_frame, basis, operator, dictionary,
+    cutoff, motion_correct, motion_est_sigma_px, motion_smooth_window,
+    motion_clip_px,
+):
+    """The whole weak-form dataset build as ONE device program.
+
+    The eager formulation dispatched each GEMM / FFT / elementwise step
+    separately — ~25 tunnel RPCs at ~30 ms each on the axon backend (the
+    profiler showed every headline path dispatch-bound, docs/RESULTS.md
+    chip-utilization section). All branches are static, so each
+    (basis, operator, dictionary) combination compiles once."""
+    t_len = U.shape[0]
+
+    if operator == "fd":
+        from pdx.ops.fd import gradients_periodic, laplacian_periodic
+
+        def d_grad(f, cutoff_frac=1.0):
             return gradients_periodic(f, dx, dy)
 
         def d_lap(f):
             return laplacian_periodic(f, dx, dy)
 
-    elif operator == "spectral":
+    else:
 
-        def d_grad(f, cutoff=1.0):
-            return gradients_spectral(f, dx, dy, cutoff_frac=float(cutoff))
+        def d_grad(f, cutoff_frac=1.0):
+            return gradients_spectral(f, dx, dy, cutoff_frac=float(cutoff_frac))
 
         def d_lap(f):
             return laplacian_spectral(f, dx, dy, cutoff_frac=1.0)
-
-    else:
-        raise ValueError("weakform operator must be 'spectral' or 'fd'")
 
     P = phi.shape[0]
     area = float(dx * dy)
@@ -210,16 +256,13 @@ def build_weakform_dataset(
 
     # nonlinear feature: <phi, |grad u|^2> — batched FFT (spectral) or one
     # stencil pass (fd) over the frame axis
-    ux, uy = d_grad(U[:-1], cutoff=float(0.65 if grad_cutoff is None else grad_cutoff))
+    ux, uy = d_grad(U[:-1], cutoff_frac=cutoff)
     gs = (ux**2 + uy**2).reshape(t_len - 1, -1)
     X_gsq = area * (gs @ phi_flat.T)
 
     if dictionary == "true":
-        names = ["lap", "bih", "gradsq"]
         X = jnp.stack([X_lap.reshape(-1), X_bih.reshape(-1), X_gsq.reshape(-1)], axis=1)
-        return names, X, y.reshape(-1)
-    if dictionary != "rich":
-        raise ValueError("weakform dictionary must be 'true' or 'rich'")
+        return X, y.reshape(-1)
 
     Tm1 = t_len - 1
     ones_col = jnp.broadcast_to(area * jnp.sum(phi_flat, axis=1)[None, :], (Tm1, P))
@@ -242,7 +285,6 @@ def build_weakform_dataset(
         S_lap_u2 = area * (U2_flat @ lap_phi.reshape(P, -1).T)
         X_ulap = 0.5 * S_lap_u2 - X_gsq
 
-    names = ["one", "u", "u2", "ux", "uy", "lap", "bih", "gradsq", "u_lap"]
     cols = [ones_col, S_u, S_u2, X_ux, X_uy, X_lap, X_bih, X_gsq, X_ulap]
     X = jnp.stack([c.reshape(-1) for c in cols], axis=1)
-    return names, X, y.reshape(-1)
+    return X, y.reshape(-1)
